@@ -1,0 +1,26 @@
+"""Test config: run on a virtual 8-device CPU mesh so sharding tests work
+everywhere (the real TPU is a single chip under axon)."""
+import os
+
+# must be set before jax initialization (the session env pins JAX_PLATFORMS=axon
+# for the single real chip; tests always run on the virtual CPU mesh)
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+assert jax.devices()[0].platform == "cpu"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import numpy as np
+
+    return np.random.RandomState(0)
