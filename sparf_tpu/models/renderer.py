@@ -1,0 +1,356 @@
+"""Volume renderer: ray gen + stratified & hierarchical sampling + compositing.
+
+Functional JAX counterpart of reference source/models/renderer.py (Graph).
+Everything is shape-static and jit-safe:
+  - `render_rays` is the single fused program (coarse [+fine]) over a ray tile;
+  - full-image rendering is `lax.map` over fixed-size ray chunks
+    (renderer.py:347-381 render_by_slices);
+  - `render_to_max` renders up to a per-ray max depth and returns the
+    transmittance `all_cumulated` used as a visibility signal
+    (renderer.py:460-624);
+  - fine-sampling on/off is a static python bool — the trainer swaps jitted
+    step functions at the schedule boundary instead of tracing data-dependent
+    branches (reference gates on iter at renderer.py:317-320).
+
+The MLP evaluation dispatches to the fused Pallas kernel on TPU when enabled
+(sparf_tpu.ops), falling back to the pure-XLA path everywhere else.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sparf_tpu.models import nerf_mlp
+from sparf_tpu.models.nerf_mlp import MLPConfig
+from sparf_tpu.utils import camera
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering options (jit-closure constant)."""
+
+    mlp: MLPConfig
+    sample_intvs: int = 128
+    sample_intvs_fine: int = 128
+    fine_sampling: bool = False
+    sample_stratified: bool = True
+    depth_param: str = "metric"  # or 'inverse'
+    rand_rays: int = 2048
+    setbg_opaque: bool = False
+    ndc: bool = False
+
+    @classmethod
+    def from_config(cls, cfg) -> "RenderConfig":
+        setbg = bool(cfg.nerf.setbg_opaque) or bool(cfg.get("mask_img", False))
+        return cls(
+            mlp=MLPConfig.from_config(cfg),
+            sample_intvs=cfg.nerf.sample_intvs,
+            sample_intvs_fine=cfg.nerf.sample_intvs_fine,
+            fine_sampling=cfg.nerf.fine_sampling,
+            sample_stratified=cfg.nerf.sample_stratified,
+            depth_param=cfg.nerf.depth.param,
+            rand_rays=cfg.nerf.rand_rays,
+            setbg_opaque=setbg,
+            ndc=bool(cfg.camera.ndc),
+        )
+
+
+# ---------------------------------------------------------------------------
+# depth sampling (renderer.py:383-456)
+# ---------------------------------------------------------------------------
+
+
+def sample_depth(
+    key: Optional[Array],
+    batch_size: int,
+    num_rays: int,
+    n_samples: int,
+    depth_range: Array,
+    depth_param: str = "metric",
+    stratified: bool = True,
+) -> Array:
+    """Stratified (or midpoint) depth samples, (B,R,S,1).
+
+    depth_range: traced (2,) [min,max]; `inverse` returns 1/(x+1e-8) of the
+    uniform samples (renderer.py:383-419).
+    """
+    depth_min, depth_max = depth_range[0], depth_range[1]
+    if stratified and key is not None:
+        rand = jax.random.uniform(key, (batch_size, num_rays, n_samples, 1))
+    else:
+        rand = jnp.full((batch_size, num_rays, n_samples, 1), 0.5)
+    rand = rand + jnp.arange(n_samples, dtype=jnp.float32)[None, None, :, None]
+    samples = rand / n_samples * (depth_max - depth_min) + depth_min
+    if depth_param == "inverse":
+        samples = 1.0 / (samples + 1e-8)
+    elif depth_param != "metric":
+        raise ValueError(f"unknown depth parametrization {depth_param}")
+    return samples
+
+
+def sample_depth_from_pdf(
+    key: Optional[Array],
+    weights: Array,
+    n_samples_coarse: int,
+    n_samples_fine: int,
+    depth_range: Array,
+    det: bool,
+) -> Array:
+    """Inverse-CDF resampling of the coarse weight histogram, (B,R,Sf,1).
+
+    weights: (B,R,S). Bins are linear in [depth_min, depth_max] (metric
+    parametrization; matches renderer.py:421-456).
+    """
+    depth_min, depth_max = depth_range[0], depth_range[1]
+    pdf = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-6)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (B,R,S+1)
+
+    if det or key is None:
+        grid = jnp.linspace(0.0, 1.0, n_samples_fine + 1)
+    else:
+        grid = jax.random.uniform(key, (n_samples_fine + 1,))
+    unif = 0.5 * (grid[:-1] + grid[1:])
+    unif = jnp.broadcast_to(unif, (*cdf.shape[:-1], n_samples_fine))
+
+    flat_cdf = cdf.reshape(-1, cdf.shape[-1])
+    flat_u = unif.reshape(-1, n_samples_fine)
+    idx = jax.vmap(lambda c, u: jnp.searchsorted(c, u, side="right"))(flat_cdf, flat_u)
+    idx = idx.reshape(*cdf.shape[:-1], n_samples_fine)
+
+    depth_bin = jnp.linspace(depth_min, depth_max, n_samples_coarse + 1)
+    depth_bin = jnp.broadcast_to(depth_bin, (*cdf.shape[:-1], n_samples_coarse + 1))
+    idx_low = jnp.clip(idx - 1, 0, n_samples_coarse)
+    idx_high = jnp.clip(idx, None, n_samples_coarse)
+    depth_low = jnp.take_along_axis(depth_bin, idx_low, axis=-1)
+    depth_high = jnp.take_along_axis(depth_bin, idx_high, axis=-1)
+    cdf_low = jnp.take_along_axis(cdf, idx_low, axis=-1)
+    cdf_high = jnp.take_along_axis(cdf, idx_high, axis=-1)
+    t = (unif - cdf_low) / (cdf_high - cdf_low + 1e-8)
+    samples = depth_low + t * (depth_high - depth_low)
+    return samples[..., None]
+
+
+def sample_depth_diff_max_range_per_ray(
+    batch_size: int,
+    num_rays: int,
+    n_samples: int,
+    depth_min: Array,
+    depth_max: Array,
+) -> Array:
+    """Deterministic samples up to a per-ray max depth (renderer.py:597-624).
+
+    depth_max: (B,R). Returns (B,R,S,1); metric parametrization only.
+    """
+    rand = jnp.ones((batch_size, num_rays, n_samples, 1))
+    rand = rand + jnp.arange(n_samples, dtype=jnp.float32)[None, None, :, None]
+    return rand / n_samples * (depth_max[..., None, None] - depth_min) + depth_min
+
+
+# ---------------------------------------------------------------------------
+# MLP dispatch (XLA path here; Pallas path plugs in via sparf_tpu.ops)
+# ---------------------------------------------------------------------------
+
+_FORWARD_IMPL = {"xla": nerf_mlp.nerf_apply}
+
+
+def register_forward_impl(name: str, fn) -> None:
+    _FORWARD_IMPL[name] = fn
+
+
+def forward_samples(
+    params: Dict[str, Any],
+    cfg: RenderConfig,
+    center: Array,
+    ray: Array,
+    depth_samples: Array,
+    progress: Array,
+    density_noise_key: Optional[Array] = None,
+    impl: str = "xla",
+) -> Dict[str, Array]:
+    """Points from depths -> MLP (frequency_nerf.py:260-281)."""
+    pts = camera.get_3d_points_from_depth(center, ray, depth_samples, multi_samples=True)
+    return _FORWARD_IMPL[impl](params, cfg.mlp, pts, ray, progress, density_noise_key)
+
+
+# ---------------------------------------------------------------------------
+# core ray rendering (renderer.py:250-345)
+# ---------------------------------------------------------------------------
+
+
+def render_rays(
+    params: Dict[str, Any],
+    cfg: RenderConfig,
+    center: Array,
+    ray: Array,
+    depth_range: Array,
+    progress: Array,
+    key: Optional[Array] = None,
+    stratified: bool = True,
+    fine_enabled: bool = False,
+    impl: str = "xla",
+) -> Dict[str, Array]:
+    """Render a (B,R)-tile of rays; returns the output_dict of the reference.
+
+    params: {'coarse': nerf pytree, 'fine': nerf pytree or absent}.
+    """
+    B, R = ray.shape[0], ray.shape[1]
+    k_depth = k_noise = k_fine = None
+    if key is not None:
+        k_depth, k_noise, k_fine = jax.random.split(key, 3)
+
+    depth_samples = sample_depth(
+        k_depth, B, R, cfg.sample_intvs, depth_range, cfg.depth_param,
+        stratified=cfg.sample_stratified and stratified,
+    )
+    pred = forward_samples(params["coarse"], cfg, center, ray, depth_samples, progress,
+                           density_noise_key=k_noise if stratified else None, impl=impl)
+    out = nerf_mlp.composite(ray, pred["rgb_samples"], pred["density_samples"],
+                             depth_samples, cfg.setbg_opaque)
+    out["t"] = depth_samples
+    out["origins"] = center
+    out["viewdirs"] = ray
+
+    if cfg.fine_sampling and fine_enabled:
+        det = not (cfg.sample_stratified and stratified)
+        depth_fine = sample_depth_from_pdf(
+            k_fine, jax.lax.stop_gradient(out["weights"][..., 0]),
+            cfg.sample_intvs, cfg.sample_intvs_fine, depth_range, det=det,
+        )
+        depth_all = jnp.concatenate([depth_samples, jax.lax.stop_gradient(depth_fine)], axis=2)
+        depth_all = jnp.sort(depth_all, axis=2)
+        pred_f = forward_samples(params["fine"], cfg, center, ray, depth_all, progress,
+                                 density_noise_key=None, impl=impl)
+        out_f = nerf_mlp.composite(ray, pred_f["rgb_samples"], pred_f["density_samples"],
+                                   depth_all, cfg.setbg_opaque)
+        out_f["t"] = depth_all
+        out.update({k + "_fine": v for k, v in out_f.items()})
+    return out
+
+
+def render_at_pixels(
+    params: Dict[str, Any],
+    cfg: RenderConfig,
+    pose_w2c: Array,
+    intr: Array,
+    pixels: Array,
+    depth_range: Array,
+    progress: Array,
+    key: Optional[Array] = None,
+    stratified: bool = True,
+    fine_enabled: bool = False,
+    impl: str = "xla",
+) -> Dict[str, Array]:
+    """Render at explicit pixel coords (renderer.py:142-190 analog).
+
+    pose_w2c (B,3,4), intr (B,3,3), pixels (N,2) or (B,N,2).
+    """
+    center, ray = camera.get_center_and_ray_at_pixels(pose_w2c, pixels, intr)
+    if cfg.ndc:
+        center, ray = camera.convert_NDC(center, ray, intr)
+    return render_rays(params, cfg, center, ray, depth_range, progress, key,
+                       stratified, fine_enabled, impl)
+
+
+def render_image_chunked(
+    params: Dict[str, Any],
+    cfg: RenderConfig,
+    pose_w2c: Array,
+    intr: Array,
+    H: int,
+    W: int,
+    depth_range: Array,
+    progress: Array,
+    key: Optional[Array] = None,
+    fine_enabled: bool = False,
+    chunk: Optional[int] = None,
+    impl: str = "xla",
+) -> Dict[str, Array]:
+    """Full-image deterministic render via lax.map over fixed-size ray chunks.
+
+    Pads HW up to a multiple of `chunk` (static shapes for XLA), then crops.
+    Returns rgb/depth/... of shape (B,HW,k) like render_by_slices
+    (renderer.py:347-381).
+    """
+    chunk = chunk or cfg.rand_rays
+    B = pose_w2c.shape[0]
+    HW = H * W
+    n_chunks = -(-HW // chunk)
+    pad = n_chunks * chunk - HW
+
+    pixels = camera.get_pixel_grid(H, W)
+    pixels = jnp.concatenate([pixels, jnp.zeros((pad, 2), pixels.dtype)], axis=0)
+    pixels = pixels.reshape(n_chunks, chunk, 2)
+
+    def render_chunk(px):
+        out = render_at_pixels(params, cfg, pose_w2c, intr, px, depth_range, progress,
+                               key=None, stratified=False, fine_enabled=fine_enabled, impl=impl)
+        keep = ["rgb", "rgb_var", "depth", "depth_var", "opacity", "all_cumulated"]
+        if cfg.fine_sampling and fine_enabled:
+            keep += [k + "_fine" for k in keep]
+        return {k: out[k] for k in keep if k in out}
+
+    outs = jax.lax.map(render_chunk, pixels)  # dict of (n_chunks, B, chunk, k)
+    merged = {}
+    for name, v in outs.items():
+        if v.ndim == 3:  # all_cumulated: (n_chunks, B, chunk)
+            v = jnp.moveaxis(v, 0, 1).reshape(B, n_chunks * chunk)[:, :HW]
+        else:
+            v = jnp.moveaxis(v, 0, 1).reshape(B, n_chunks * chunk, v.shape[-1])[:, :HW]
+        merged[name] = v
+    return merged
+
+
+def render_to_max(
+    params: Dict[str, Any],
+    cfg: RenderConfig,
+    pose_w2c: Array,
+    intr: Array,
+    pixels: Array,
+    depth_min: Array,
+    depth_max: Array,
+    progress: Array,
+    fine_enabled: bool = False,
+    impl: str = "xla",
+) -> Dict[str, Array]:
+    """Render rays only up to a per-ray max depth; `all_cumulated` is the
+    probability the ray travels to depth_max unoccluded — the visibility
+    signal of the depth-consistency loss (renderer.py:504-595).
+
+    pixels (B,N,2) or (N,2); depth_max (B,N). Metric depth only.
+    """
+    center, ray = camera.get_center_and_ray_at_pixels(pose_w2c, pixels, intr)
+    if cfg.ndc:
+        center, ray = camera.convert_NDC(center, ray, intr)
+    B, R = ray.shape[0], ray.shape[1]
+    depth_samples = sample_depth_diff_max_range_per_ray(
+        B, R, cfg.sample_intvs, depth_min, depth_max
+    )
+    out_all: Dict[str, Array] = {"origins": center, "viewdirs": ray}
+    pred = forward_samples(params["coarse"], cfg, center, ray, depth_samples, progress, impl=impl)
+    out = nerf_mlp.composite(ray, pred["rgb_samples"], pred["density_samples"],
+                             depth_samples, cfg.setbg_opaque)
+    out["t"] = depth_samples
+    out_all.update(out)
+    if cfg.fine_sampling and fine_enabled:
+        # same samples evaluated through the fine MLP (renderer.py:578-590)
+        pred_f = forward_samples(params["fine"], cfg, center, ray, depth_samples, progress, impl=impl)
+        out_f = nerf_mlp.composite(ray, pred_f["rgb_samples"], pred_f["density_samples"],
+                                   depth_samples, cfg.setbg_opaque)
+        out_f["t"] = depth_samples
+        out_all.update({k + "_fine": v for k, v in out_f.items()})
+    return out_all
+
+
+def init_graph_params(key: Array, cfg: RenderConfig) -> Dict[str, Any]:
+    """{'coarse': mlp pytree [, 'fine': mlp pytree]} (renderer.py:28-75)."""
+    k1, k2 = jax.random.split(key)
+    params = {"coarse": nerf_mlp.init_nerf_params(k1, cfg.mlp)}
+    if cfg.fine_sampling:
+        params["fine"] = nerf_mlp.init_nerf_params(k2, cfg.mlp)
+    return params
