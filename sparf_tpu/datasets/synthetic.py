@@ -1,0 +1,150 @@
+"""Synthetic analytic scene: ray-traced colored spheres with exact GT depth.
+
+No reference counterpart — this is the framework's built-in test fixture and
+golden-run dataset: a procedural scene whose images, depths and poses are
+exact by construction, enabling end-to-end regression tests (pose recovery,
+GT-correspondence substitution, depth metrics) without external data.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sparf_tpu.datasets import base
+
+# scene definition: spheres (center xyz, radius, albedo rgb)
+SPHERES = np.array(
+    [
+        # x, y, z, r, R, G, B
+        [0.0, 0.0, 0.0, 0.55, 0.9, 0.2, 0.2],
+        [0.7, 0.25, 0.35, 0.3, 0.2, 0.8, 0.3],
+        [-0.65, -0.2, 0.4, 0.35, 0.25, 0.35, 0.95],
+        [0.15, -0.55, -0.5, 0.28, 0.95, 0.85, 0.2],
+        [-0.3, 0.55, -0.4, 0.22, 0.7, 0.3, 0.85],
+    ],
+    np.float32,
+)
+LIGHT_DIR = np.array([0.4, -0.7, -0.6], np.float32) / np.linalg.norm([0.4, -0.7, -0.6])
+BG_COLOR = np.array([1.0, 1.0, 1.0], np.float32)
+CAM_RADIUS = 3.0
+NEAR, FAR = 1.5, 4.8
+
+
+def look_at_pose_w2c(eye: np.ndarray, target=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """OpenCV w2c [R|t] looking from eye toward target, +z forward, y down."""
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    up_world = np.array([0.0, -1.0, 0.0])
+    right = np.cross(up_world, fwd)
+    if np.linalg.norm(right) < 1e-6:
+        right = np.array([1.0, 0.0, 0.0])
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R_c2w = np.stack([right, down, fwd], axis=1)  # columns = camera axes in world
+    R = R_c2w.T
+    t = -R @ eye
+    return np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
+
+
+def ray_trace(centers: np.ndarray, dirs: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Closed-form sphere intersection; returns (rgb (N,3), depth (N,), hit (N,)).
+
+    `depth` is the ray parameter t (z-depth convention when dirs are
+    K^-1-scaled, matching the renderer's expected-depth output).
+    """
+    N = centers.shape[0]
+    best_t = np.full(N, np.inf, np.float32)
+    best_rgb = np.tile(BG_COLOR, (N, 1))
+    for cx, cy, cz, r, cr, cg, cb in SPHERES:
+        oc = centers - np.array([cx, cy, cz], np.float32)
+        a = np.sum(dirs * dirs, axis=-1)
+        b = 2 * np.sum(oc * dirs, axis=-1)
+        c = np.sum(oc * oc, axis=-1) - r * r
+        disc = b * b - 4 * a * c
+        hit = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0))
+        t = (-b - sq) / (2 * a)
+        valid = hit & (t > 1e-3) & (t < best_t)
+        if not np.any(valid):
+            continue
+        pts = centers[valid] + dirs[valid] * t[valid, None]
+        normal = (pts - np.array([cx, cy, cz], np.float32)) / r
+        lam = np.clip(-(normal @ LIGHT_DIR), 0.0, 1.0)
+        shade = (0.35 + 0.65 * lam)[:, None]
+        best_t[valid] = t[valid]
+        best_rgb[valid] = shade * np.array([cr, cg, cb], np.float32)
+    hit_mask = np.isfinite(best_t)
+    depth = np.where(hit_mask, best_t, 0.0).astype(np.float32)
+    return best_rgb.astype(np.float32), depth, hit_mask
+
+
+def render_view(pose_w2c: np.ndarray, intr: np.ndarray, H: int, W: int):
+    """Analytic render: (image (H,W,3), depth (H,W), fg (H,W))."""
+    from sparf_tpu.utils import camera
+    import jax.numpy as jnp
+
+    center, ray = camera.get_center_and_ray(
+        jnp.asarray(pose_w2c[None]), H, W, jnp.asarray(intr[None].astype(np.float32))
+    )
+    center = np.asarray(center)[0]
+    ray = np.asarray(ray)[0]
+    rgb, depth, hit = ray_trace(center, ray)
+    return rgb.reshape(H, W, 3), depth.reshape(H, W), hit.reshape(H, W)
+
+
+def load_synthetic_scene(
+    root: str = "",
+    scene: str = "spheres",
+    split: str = "train",
+    train_sub: Optional[int] = None,
+    val_sub: Optional[int] = None,
+    H: int = 60,
+    W: int = 80,
+    n_train: int = 6,
+    n_test: int = 3,
+    increase_depth_range_by_x_percent: float = 0.0,
+    **_unused,
+) -> base.Scene:
+    """Procedural scene; `root` unused (kept for the registry signature)."""
+    focal = 0.9 * W
+    intr = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+
+    # cameras on a partial ring, looking at the origin
+    n_total = n_train + n_test
+    angles = np.linspace(-0.5, 0.5, n_total)
+    heights = 0.35 * np.sin(np.linspace(0, 2.3, n_total))
+    eyes = np.stack(
+        [np.sin(angles) * CAM_RADIUS, heights, -np.cos(angles) * CAM_RADIUS], axis=-1
+    )
+    poses = np.stack([look_at_pose_w2c(e) for e in eyes])
+
+    train_ids = [i for i in range(n_total) if i % 3 != 1][: n_train]
+    test_ids = [i for i in range(n_total) if i % 3 == 1][: n_test]
+    indices = train_ids if split == "train" else test_ids
+    if split == "train" and train_sub is not None:
+        indices = indices[:train_sub]
+    if split != "train" and val_sub is not None:
+        indices = indices[:val_sub]
+
+    samples = []
+    for local_i, idx in enumerate(indices):
+        img, depth, fg = render_view(poses[idx], intr, H, W)
+        samples.append(
+            dict(
+                idx=local_i,
+                rgb_path=f"view{idx:03d}.png",
+                image=base.image_to_chw01(img),
+                intr=intr.copy(),
+                pose=poses[idx],
+                depth_range=np.array([NEAR, FAR], np.float32),
+                depth_gt=depth,
+                valid_depth_gt=fg,
+                fg_mask=fg[None],
+            )
+        )
+    out = base.stack_scene(samples)
+    out["scene"] = scene
+    out = base.apply_increase_depth_range(out, increase_depth_range_by_x_percent)
+    return out
