@@ -1,0 +1,149 @@
+"""LPIPS perceptual metric in JAX (AlexNet backbone).
+
+The reference uses the `lpips` pip package (alex for eval, vgg inside losses —
+base.py:46, base_losses.py:139-145). This environment has no pretrained
+torchvision/lpips weights and no network egress, so:
+
+  - the exact AlexNet-LPIPS architecture is implemented here in JAX;
+  - `load_weights_npz` loads converted official weights when the user provides
+    them (see `convert_torch_lpips_checkpoint`);
+  - without weights we fall back to a fixed-seed randomly-initialized backbone.
+    Random-feature LPIPS is a known, usable perceptual distance (correlates
+    with human judgement far better than L2, worse than trained LPIPS); results
+    computed this way are tagged `lpips(rand)` in eval JSONs via
+    `LPIPS.weight_tag`.
+
+Input convention matches lpips: images in [-1, 1], NCHW.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# (out_ch, in_ch, k, stride, pad) for AlexNet features; relu after each
+_ALEX_CONVS = [
+    (64, 3, 11, 4, 2),
+    (192, 64, 5, 1, 2),
+    (384, 192, 3, 1, 1),
+    (256, 384, 3, 1, 1),
+    (256, 256, 3, 1, 1),
+]
+# maxpool(3, stride 2) after relu1 and relu2
+_POOL_AFTER = {0, 1}
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32).reshape(1, 3, 1, 1)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32).reshape(1, 3, 1, 1)
+
+
+def _init_random_params(seed: int = 0) -> Dict[str, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    params: Dict[str, np.ndarray] = {}
+    for i, (out_c, in_c, k, _, _) in enumerate(_ALEX_CONVS):
+        fan_in = in_c * k * k
+        params[f"conv{i}_w"] = (rng.randn(out_c, in_c, k, k) / np.sqrt(fan_in)).astype(np.float32)
+        params[f"conv{i}_b"] = np.zeros(out_c, np.float32)
+        # lin layers: per-channel importance; uniform positive for random init
+        params[f"lin{i}_w"] = np.full((out_c,), 1.0 / out_c, np.float32)
+    return params
+
+
+def load_weights_npz(path: str) -> Dict[str, np.ndarray]:
+    data = np.load(path)
+    return {k: data[k] for k in data.files}
+
+
+def convert_torch_lpips_checkpoint(alexnet_pth: str, lpips_pth: str, out_npz: str) -> None:
+    """Convert official torchvision-alexnet + lpips-lin checkpoints to npz.
+
+    Run offline where the files exist:
+      alexnet_pth: torchvision alexnet state_dict (features.0.weight, ...)
+      lpips_pth:   lpips 'alex' linear weights (lin0.model.1.weight, ...)
+    """
+    import torch
+
+    alex = torch.load(alexnet_pth, map_location="cpu")
+    lin = torch.load(lpips_pth, map_location="cpu")
+    feature_ids = [0, 3, 6, 8, 10]
+    out: Dict[str, np.ndarray] = {}
+    for i, fid in enumerate(feature_ids):
+        out[f"conv{i}_w"] = alex[f"features.{fid}.weight"].numpy()
+        out[f"conv{i}_b"] = alex[f"features.{fid}.bias"].numpy()
+        out[f"lin{i}_w"] = lin[f"lin{i}.model.1.weight"].numpy().reshape(-1)
+    np.savez(out_npz, **out)
+
+
+def _conv(x: Array, w: Array, b: Array, stride: int, pad: int) -> Array:
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y + b.reshape(1, -1, 1, 1)
+
+
+def _maxpool(x: Array, k: int = 3, stride: int = 2) -> Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, stride, stride), "VALID"
+    )
+
+
+def _features(params: Dict[str, Array], x: Array) -> List[Array]:
+    feats = []
+    h = x
+    for i, (_, _, k, stride, pad) in enumerate(_ALEX_CONVS):
+        h = _conv(h, params[f"conv{i}_w"], params[f"conv{i}_b"], stride, pad)
+        h = jax.nn.relu(h)
+        feats.append(h)
+        if i in _POOL_AFTER:
+            h = _maxpool(h)
+    return feats
+
+
+def _normalize_tensor(x: Array, eps: float = 1e-10) -> Array:
+    norm = jnp.sqrt(jnp.sum(x**2, axis=1, keepdims=True))
+    return x / (norm + eps)
+
+
+class LPIPS:
+    """Callable lpips(img1, img2) on NCHW images in [-1,1]; returns mean distance."""
+
+    def __init__(self, weights_path: Optional[str] = None):
+        weights_path = weights_path or os.environ.get("SPARF_LPIPS_WEIGHTS")
+        if weights_path and os.path.exists(weights_path):
+            self.params = {k: jnp.asarray(v) for k, v in load_weights_npz(weights_path).items()}
+            self.weight_tag = "lpips"
+        else:
+            self.params = {k: jnp.asarray(v) for k, v in _init_random_params().items()}
+            self.weight_tag = "lpips(rand)"
+        self._jitted = jax.jit(self._distance)
+
+    def _distance(self, img1: Array, img2: Array) -> Array:
+        # AlexNet needs >=~64px spatial extent (the second maxpool collapses
+        # smaller inputs to empty tensors) — upsample tiny images first.
+        H, W = img1.shape[-2:]
+        if min(H, W) < 64:
+            s = int(np.ceil(64 / min(H, W)))
+            new_shape = (*img1.shape[:-2], H * s, W * s)
+            img1 = jax.image.resize(img1, new_shape, method="bilinear")
+            img2 = jax.image.resize(img2, new_shape, method="bilinear")
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+        x1 = (img1 - shift) / scale
+        x2 = (img2 - shift) / scale
+        f1 = _features(self.params, x1)
+        f2 = _features(self.params, x2)
+        total = jnp.asarray(0.0)
+        for i, (a, b) in enumerate(zip(f1, f2)):
+            d = (_normalize_tensor(a) - _normalize_tensor(b)) ** 2
+            w = self.params[f"lin{i}_w"].reshape(1, -1, 1, 1)
+            total = total + jnp.mean(jnp.sum(d * w, axis=1))
+        return total
+
+    def __call__(self, img1, img2) -> Array:
+        return self._jitted(jnp.asarray(img1), jnp.asarray(img2))

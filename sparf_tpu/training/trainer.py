@@ -1,0 +1,367 @@
+"""Per-scene trainers (host orchestration around jitted steps).
+
+Counterpart of the reference L4/L3 stack (source/training/base.py:38-800,
+nerf_trainer.py:41-571, iter_based_trainer.py:50-445) redesigned TPU-first:
+the per-iteration work is one compiled XLA program; the python loop only
+feeds the step counter, swaps compiled variants at static schedule
+boundaries, and runs periodic host-side actions (validation renders,
+pose evaluation, snapshots, logging).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparf_tpu.datasets import create_dataset
+from sparf_tpu.models import renderer as renderer_mod
+from sparf_tpu.models.renderer import RenderConfig
+from sparf_tpu.training import checkpointing, engine, metrics as metrics_mod
+from sparf_tpu.training.logging_utils import SummaryBoard, TensorboardWriter, Timer, create_logger
+from sparf_tpu.training.sampling import make_ray_sampler
+from sparf_tpu.utils import camera
+
+Array = jax.Array
+
+
+def scene_to_device(scene: Dict[str, Any]) -> Dict[str, Any]:
+    """numpy Scene -> device arrays (single host->device transfer),
+    non-array metadata kept host-side."""
+    dev, host = {}, {}
+    for k, v in scene.items():
+        if isinstance(v, np.ndarray):
+            dev[k] = jnp.asarray(v)
+        else:
+            host[k] = v
+    return {**dev, **host}
+
+
+class NerfTrainerPerScene:
+    """NeRF training with fixed ground-truth poses (nerf_trainer.py:41-571)."""
+
+    model_name = "nerf_gt_poses"
+
+    def __init__(self, cfg, workspace: Optional[str] = None, debug: bool = False):
+        self.cfg = cfg
+        self.debug = debug
+        self.workspace = workspace or cfg.get("workspace") or "./workspace"
+        os.makedirs(self.workspace, exist_ok=True)
+        self.logger = create_logger(os.path.join(self.workspace, "train.log"))
+        self.writer = TensorboardWriter(cfg.get("tensorboard_dir") or os.path.join(self.workspace, "tb"))
+        self.timer = Timer()
+        self.summary = SummaryBoard(last_n=cfg.log_steps)
+
+        if debug:
+            cfg.max_iter = min(cfg.max_iter, 10)
+            cfg.vis_steps, cfg.log_steps = 2, 2
+            cfg.val_steps, cfg.snapshot_steps = 5, 5
+
+        np.random.seed(cfg.get("seed", 0))
+        self.base_key = jax.random.PRNGKey(cfg.get("seed", 0))
+
+        self.load_dataset()
+        self.build_networks()
+        self.setup_optimizer()
+        self.state, self.pose_constants = engine.init_train_state(
+            self.base_key, self.render_cfg, self.tx_nerf,
+            pose_cfg=getattr(self, "pose_cfg", None),
+            initial_poses_w2c=getattr(self, "initial_poses_w2c", None),
+            tx_pose=getattr(self, "tx_pose", None),
+        )
+        self.define_loss_module()
+
+        self.best_val = float("inf")
+        self.epoch_of_best_val = 0
+        self._step_cache: Dict[Tuple, Any] = {}
+        self._lpips = None
+
+    # ------------------------------------------------------------------ setup
+
+    def load_dataset(self):
+        cfg = self.cfg
+        self.train_scene_np = create_dataset(cfg, "train")
+        self.val_scene_np = create_dataset(cfg, "val")
+        self.train_scene = scene_to_device(self.train_scene_np)
+        self.val_scene = scene_to_device(self.val_scene_np)
+        self.sampler = make_ray_sampler(cfg, self.train_scene_np)
+        self.H, self.W = self.train_scene_np["image"].shape[-2:]
+        self.n_train_views = self.train_scene_np["image"].shape[0]
+        self.logger.info(
+            f"loaded scene {self.train_scene_np.get('scene')} "
+            f"({self.n_train_views} train / {self.val_scene_np['image'].shape[0]} val views, "
+            f"{self.H}x{self.W})"
+        )
+
+    def build_networks(self):
+        self.render_cfg = RenderConfig.from_config(self.cfg)
+        self.mlp_impl = "xla"
+
+    def setup_optimizer(self):
+        cfg = self.cfg
+        lr_fn = engine.exponential_lr(cfg.optim.lr, cfg.optim.get("lr_end"), cfg.max_iter)
+        clip = cfg.get("nerf_gradient_clipping") if cfg.get("clip_by_norm", True) else None
+        self.tx_nerf = engine.make_optimizer(lr_fn, clip)
+        self.lr_fn = lr_fn
+
+    def define_loss_module(self):
+        """String-driven loss composition (loss_factory.py:25-42): substrings
+        of cfg.loss_type activate modules. Photometric is always present;
+        corres/depth_cons are wired by the loss factory."""
+        from sparf_tpu.training.losses.factory import build_extra_loss_builders
+
+        self.extra_loss_builders = build_extra_loss_builders(self)
+
+    # -------------------------------------------------------------- schedules
+
+    @property
+    def iteration(self) -> int:
+        return int(np.asarray(self.state.iteration))
+
+    def fine_enabled_at(self, iteration: int) -> bool:
+        cfg = self.cfg
+        if not cfg.nerf.fine_sampling:
+            return False
+        ratio = cfg.nerf.get("ratio_start_fine_sampling_at_x")
+        if ratio is not None and iteration < cfg.max_iter * ratio:
+            return False
+        return True
+
+    def optimize_poses_at(self, iteration: int) -> bool:
+        return False
+
+    def update_nerf_at(self, iteration: int) -> bool:
+        return True
+
+    def stage_signature(self, iteration: int) -> Tuple:
+        return (
+            iteration < self.cfg.get("precrop_iters", 0),
+            self.fine_enabled_at(iteration),
+            self.optimize_poses_at(iteration),
+            self.update_nerf_at(iteration),
+        )
+
+    def make_loss_builder(self, sample_in_center: bool, fine_enabled: bool):
+        cfg = self.cfg
+        base = engine.default_photometric_loss_builder(
+            cfg, self.render_cfg, self.train_scene, self.sampler,
+            fine_enabled=fine_enabled, sample_in_center=sample_in_center,
+            impl=self.mlp_impl,
+        )
+        extras = [mk(fine_enabled) for mk in self.extra_loss_builders]
+        if not extras:
+            return base
+
+        def combined(nerf_params, poses_w2c, key, iteration, progress):
+            keys = jax.random.split(key, 1 + len(extras))
+            loss_dict, stats = base(nerf_params, poses_w2c, keys[0], iteration, progress)
+            for k_extra, extra in zip(keys[1:], extras):
+                ld, st = extra(nerf_params, poses_w2c, k_extra, iteration, progress)
+                loss_dict.update(ld)
+                stats.update(st)
+            return loss_dict, stats
+
+        return combined
+
+    def get_step(self, iteration: int):
+        sig = self.stage_signature(iteration)
+        if sig not in self._step_cache:
+            sample_in_center, fine_enabled, optimize_poses, update_nerf = sig
+            builder = self.make_loss_builder(sample_in_center, fine_enabled)
+            self._step_cache[sig] = engine.make_train_step(
+                self.cfg, self.render_cfg, self.train_scene, builder,
+                tx_nerf=self.tx_nerf,
+                tx_pose=getattr(self, "tx_pose", None),
+                pose_cfg=getattr(self, "pose_cfg", None),
+                pose_constants=self.pose_constants,
+                optimize_poses=optimize_poses,
+                update_nerf=update_nerf,
+                donate=bool(self.cfg.tpu.get("donate_state", True)),
+            )
+        return self._step_cache[sig]
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, load_latest: bool = True):
+        cfg = self.cfg
+        if load_latest:
+            self.load_snapshot("latest")
+        self.logger.info(f"training from iteration {self.iteration} to {cfg.max_iter}")
+        t_start = time.time()
+        it = self.iteration
+        while it < cfg.max_iter:
+            self.on_iteration_start(it)
+            step = self.get_step(it)
+            self.timer.add_prepare_time()
+            self.state, stats = step(self.state)
+            it += 1
+            if it % cfg.log_steps == 0 or it == 1:
+                stats_np = {k: float(np.asarray(v)) for k, v in stats.items()
+                            if np.asarray(v).ndim == 0}
+                stats_np["lr"] = float(self.lr_fn(it))
+                stats_np.update(self.make_results_dict_low_freq())
+                self.timer.add_process_time()
+                self.summary.update_from_dict(stats_np)
+                self.writer.write_event("train", stats_np, it)
+                self.logger.info(
+                    f"iter {it}/{cfg.max_iter} "
+                    + " ".join(f"{k}={v:.4g}" for k, v in sorted(stats_np.items())
+                               if k in ("all", "render", "corres", "depth_cons", "mse",
+                                         "lr", "error_R", "error_t", "psnr"))
+                    + f" it/s={1.0 / max(self.timer.get_process_time() / max(cfg.log_steps,1), 1e-9) * cfg.log_steps:.1f}"
+                )
+                self.timer.reset()
+            if it % cfg.val_steps == 0:
+                self.validate(it)
+            if it % cfg.snapshot_steps == 0:
+                self.save_snapshot()
+        self.logger.info(f"training done in {time.time() - t_start:.1f}s")
+        self.save_snapshot()
+        if cfg.get("do_eval", True):
+            self.validate(it)
+
+    def on_iteration_start(self, iteration: int):
+        pass
+
+    def make_results_dict_low_freq(self) -> Dict[str, float]:
+        return {}
+
+    # ------------------------------------------------------------ validation
+
+    def current_poses_w2c(self) -> Array:
+        """Current w2c estimates for the train views (GT here)."""
+        return self.train_scene["pose"]
+
+    def val_pose_and_scale(self, idx: int) -> Tuple[Array, float]:
+        """w2c pose used to render val image idx + depth scaling factor."""
+        return self.val_scene["pose"][idx : idx + 1], 1.0
+
+    def render_full_val_image(self, idx: int, fine_enabled: bool) -> Dict[str, Array]:
+        pose, _ = self.val_pose_and_scale(idx)
+        H, W = self.val_scene_np["image"].shape[-2:]
+        progress = jnp.asarray(
+            min(1.0, int(np.asarray(self.state.iteration_nerf)) / self.cfg.max_iter)
+            if self.cfg.get("barf_c2f") is not None else 1.0
+        )
+        return renderer_mod.render_image_chunked(
+            self.state.nerf_params, self.render_cfg, pose,
+            self.val_scene["intr"][idx : idx + 1], H, W,
+            self.val_scene["depth_range"][idx], progress,
+            fine_enabled=fine_enabled, chunk=self.cfg.nerf.rand_rays,
+            impl=self.mlp_impl,
+        )
+
+    def get_lpips(self):
+        if self._lpips is None:
+            from sparf_tpu.training.lpips_jax import LPIPS
+
+            self._lpips = LPIPS()
+        return self._lpips
+
+    def validate(self, iteration: int, max_views: Optional[int] = None) -> Dict[str, float]:
+        """Full-image renders over the val split; track best model by -PSNR
+        (base.py:450-504)."""
+        H, W = self.val_scene_np["image"].shape[-2:]
+        n = self.val_scene_np["image"].shape[0]
+        if self.debug:
+            max_views = min(n, 2)
+        n = min(n, max_views) if max_views else n
+        fine_enabled = self.fine_enabled_at(iteration)
+        results = []
+        for idx in range(n):
+            out = self.render_full_val_image(idx, fine_enabled)
+            key = "rgb_fine" if "rgb_fine" in out else "rgb"
+            pred = out[key].reshape(1, H, W, 3).transpose(0, 3, 1, 2)
+            gt = self.val_scene["image"][idx : idx + 1]
+            res = {
+                "psnr": float(metrics_mod.psnr(pred, gt)),
+                "ssim": float(metrics_mod.ssim(pred, gt)),
+            }
+            results.append(res)
+        mean = {k: float(np.mean([r[k] for r in results])) for k in results[0]} if results else {}
+        self.writer.write_event("val", mean, iteration)
+        self.logger.info(f"validation @ {iteration}: " + " ".join(f"{k}={v:.3f}" for k, v in mean.items()))
+        val_score = -mean.get("psnr", 0.0)
+        if val_score < self.best_val:
+            self.best_val = val_score
+            self.epoch_of_best_val = iteration
+            self.save_snapshot(is_best=True)
+        return mean
+
+    # ------------------------------------------------------------ evaluation
+
+    def evaluate_full(self, save_ind_files: bool = False, out_dir: Optional[str] = None) -> Dict:
+        """Test-set evaluation incl. depth metrics and masked metrics; JSON dump
+        (nerf_trainer.py:342-485)."""
+        cfg = self.cfg
+        test_scene_np = create_dataset(cfg, "test")
+        test_scene = scene_to_device(test_scene_np)
+        H, W = test_scene_np["image"].shape[-2:]
+        fine_enabled = self.fine_enabled_at(self.iteration)
+        lpips = self.get_lpips()
+        per_image = []
+        for idx in range(test_scene_np["image"].shape[0]):
+            pose, depth_scale = self.test_pose_and_scale(test_scene, idx)
+            progress = jnp.asarray(1.0)
+            out = renderer_mod.render_image_chunked(
+                self.state.nerf_params, self.render_cfg, pose,
+                test_scene["intr"][idx : idx + 1], H, W,
+                test_scene["depth_range"][idx], progress,
+                fine_enabled=fine_enabled, chunk=cfg.nerf.rand_rays, impl=self.mlp_impl,
+            )
+            key = "rgb_fine" if "rgb_fine" in out else "rgb"
+            dkey = "depth_fine" if "depth_fine" in out else "depth"
+            pred_rgb = out[key].reshape(1, H, W, 3).transpose(0, 3, 1, 2)
+            gt_rgb = test_scene["image"][idx : idx + 1]
+            res = metrics_mod.compute_metrics(
+                pred_rgb, gt_rgb,
+                pred_depth=out[dkey].reshape(1, -1, 1),
+                depth_gt=test_scene["depth_gt"][idx : idx + 1].reshape(1, -1, 1)
+                if "depth_gt" in test_scene else None,
+                valid_depth_gt=test_scene["valid_depth_gt"][idx : idx + 1].reshape(1, -1)
+                if "valid_depth_gt" in test_scene else None,
+                fg_mask=test_scene["fg_mask"][idx : idx + 1] if "fg_mask" in test_scene else None,
+                lpips_fn=lpips,
+                scaling_factor_for_pred_depth=depth_scale,
+            )
+            per_image.append(res)
+        mean = {
+            k: float(np.mean([r[k] for r in per_image]))
+            for k in per_image[0]
+            if not np.isnan(np.mean([r[k] for r in per_image]))
+        } if per_image else {}
+        mean["iteration"] = self.iteration
+        mean["lpips_tag"] = lpips.weight_tag
+        result = {"mean": mean, "per_image": per_image}
+        out_dir = out_dir or self.workspace
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"{cfg.get('expname', 'eval')}.json"), "w") as f:
+            json.dump(result, f, indent=2, default=float)
+        self.logger.info("eval: " + " ".join(f"{k}={v:.4g}" for k, v in mean.items()
+                                             if isinstance(v, float)))
+        return result
+
+    def test_pose_and_scale(self, test_scene, idx: int) -> Tuple[Array, float]:
+        return test_scene["pose"][idx : idx + 1], 1.0
+
+    # ---------------------------------------------------------- checkpointing
+
+    def save_snapshot(self, is_best: bool = False):
+        path = checkpointing.save_snapshot(
+            self.workspace, self.state, self.best_val, self.epoch_of_best_val, is_best=is_best
+        )
+        self.logger.info(f"saved snapshot {os.path.basename(path)}")
+
+    def load_snapshot(self, which: str = "latest") -> bool:
+        loaded = checkpointing.load_snapshot(self.workspace, self.state, which)
+        if loaded is None:
+            return False
+        self.state, meta = loaded
+        self.best_val = meta["best_val"]
+        self.epoch_of_best_val = meta["epoch_of_best_val"]
+        self.logger.info(f"resumed from snapshot at iteration {meta['iteration']}")
+        return True
