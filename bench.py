@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: full SPARF training-step throughput at the reference workload shape.
+
+Workload (BASELINE.md): DTU 3-view joint training = 100k iterations of
+  photometric (1024 rays) + correspondence (2x512 rays) + depth-consistency
+  (1024 ref + 1024 visibility + 1024 virtual rays), 128 coarse + 128 fine
+  samples/ray, 8x256 MLP + 128-hidden rgb head, dual Adam.
+
+Baseline: the reference trains this on one A100 in ~10 h (SPARF CVPR'23,
+~2.78 it/s); vs_baseline is our it/s over that. The BASELINE.md north star is
+vs_baseline >= 5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_REFERENCE_ITERS_PER_SEC = 100000.0 / (10 * 3600)  # ~2.78 it/s (estimate)
+
+
+def build_trainer(tiny: bool):
+    from sparf_tpu.configs.config import ConfigDict, override_options
+    from sparf_tpu.configs.presets import PRESETS
+    from sparf_tpu.training.joint_trainer import PoseAndNerfTrainerPerScene
+    import tempfile
+
+    cfg = PRESETS["joint_pose_nerf_training/synthetic/sparf"]()
+    over = ConfigDict(
+        env=ConfigDict(),
+        scene="spheres",
+        max_iter=100000,
+        use_gt_correspondences=True,  # matcher runs offline; not part of step timing
+        min_nbr_matches=100,
+    )
+    if tiny:
+        over = override_options(
+            over,
+            ConfigDict(
+                synthetic=dict(H=48, W=64, n_train=3, n_test=1),
+                arch=dict(layers_feat=[None, 64, 64, 64, 64],
+                          layers_rgb=[None, 32, 3], skip=[2]),
+                nerf=ConfigDict(sample_intvs=32, sample_intvs_fine=16, rand_rays=128),
+                depth_cons_nbr_rays=128,
+            ),
+        )
+    else:
+        # DTU-shaped: 300x400 images, 1024 rays, 128+128 samples, full MLP
+        over = override_options(
+            over, ConfigDict(synthetic=dict(H=300, W=400, n_train=3, n_test=1))
+        )
+    cfg = override_options(cfg, over)
+    ws = tempfile.mkdtemp(prefix="sparf_bench_")
+    return PoseAndNerfTrainerPerScene(cfg, workspace=ws)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tiny", action="store_true", help="small shapes (CPU sanity)")
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+
+    trainer = build_trainer(args.tiny)
+    step = trainer.get_step(0)
+    state = trainer.state
+    for _ in range(args.warmup):
+        state, stats = step(state)
+    jax.block_until_ready(stats["all"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, stats = step(state)
+    jax.block_until_ready(stats["all"])
+    dt = time.perf_counter() - t0
+
+    iters_per_sec = args.steps / dt
+    rays_per_step = (
+        trainer.cfg.nerf.rand_rays  # photometric
+        + 2 * (trainer.cfg.nerf.rand_rays // 2)  # corres, both views
+        + 3 * int(trainer.cfg.get("depth_cons_nbr_rays")
+                  or max(1024, trainer.cfg.nerf.rand_rays))  # ref+vis+virtual
+    )
+    samples = trainer.cfg.nerf.sample_intvs + (
+        trainer.cfg.nerf.sample_intvs_fine if trainer.cfg.nerf.fine_sampling else 0
+    )
+    result = {
+        "metric": "sparf_train_step_throughput",
+        "value": round(iters_per_sec, 3),
+        "unit": "it/s",
+        "vs_baseline": round(iters_per_sec / A100_REFERENCE_ITERS_PER_SEC, 3),
+        "detail": {
+            "rays_per_step": int(rays_per_step),
+            "samples_per_ray": int(samples),
+            "ray_samples_per_sec": int(rays_per_step * samples * iters_per_sec),
+            "device": str(jax.devices()[0]),
+            "tiny": bool(args.tiny),
+            "loss": float(np.asarray(stats["all"])),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

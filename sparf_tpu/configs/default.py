@@ -117,7 +117,14 @@ def get_nerf_default_config_llff() -> ConfigDict:
         fg_mask=None,
         corres=None,
         depth_cons=None,
+        colmap_depth=None,
     )
+
+    # debugging flags: GT-correspondence substitution (corres_loss.py:43-45)
+    cfg.use_gt_correspondences = False
+    cfg.use_dummy_all_one_confidence = False
+    cfg.use_gt_depth = False
+    cfg.compute_photo_on_matches = False
 
     cfg.start_iter = ConfigDict(photometric=0, corres=0, depth_cons=0)
     cfg.start_ratio = ConfigDict(photometric=None, corres=None, depth_cons=None)

@@ -73,8 +73,15 @@ def ray_trace(centers: np.ndarray, dirs: np.ndarray) -> Tuple[np.ndarray, np.nda
         normal = (pts - np.array([cx, cy, cz], np.float32)) / r
         lam = np.clip(-(normal @ LIGHT_DIR), 0.0, 1.0)
         shade = (0.35 + 0.65 * lam)[:, None]
+        # procedural 3D texture (world-anchored, view-independent): makes the
+        # scene matchable by appearance and well-conditioned for pose recovery
+        tex = (
+            0.75
+            + 0.125 * np.sin(14.0 * pts[:, 0] + 23.0 * pts[:, 1])
+            + 0.125 * np.sin(19.0 * pts[:, 1] * pts[:, 2] + 7.0 * pts[:, 0])
+        )[:, None]
         best_t[valid] = t[valid]
-        best_rgb[valid] = shade * np.array([cr, cg, cb], np.float32)
+        best_rgb[valid] = shade * tex * np.array([cr, cg, cb], np.float32)
     hit_mask = np.isfinite(best_t)
     depth = np.where(hit_mask, best_t, 0.0).astype(np.float32)
     return best_rgb.astype(np.float32), depth, hit_mask

@@ -120,8 +120,11 @@ def default_photometric_loss_builder(cfg, render_cfg: RenderConfig, scene, sampl
         start_iter_photo = max(start_iter_photo, float(cfg.start_ratio.photometric) * cfg.max_iter)
 
     def builder(nerf_params, poses_w2c, key, iteration, progress):
+        from sparf_tpu.parallel import mesh as mesh_mod
+
         k_sample, k_render = jax.random.split(key)
         ray_idx = sampler(k_sample, cfg.nerf.rand_rays, sample_in_center=sample_in_center)
+        ray_idx = mesh_mod.shard_rays(ray_idx, axis=ray_idx.ndim - 1)
         pix_x = (ray_idx % W).astype(jnp.float32) + 0.5
         pix_y = (ray_idx // W).astype(jnp.float32) + 0.5
         pixels = jnp.stack([pix_x, pix_y], axis=-1)

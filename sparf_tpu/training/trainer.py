@@ -64,6 +64,19 @@ class NerfTrainerPerScene:
         np.random.seed(cfg.get("seed", 0))
         self.base_key = jax.random.PRNGKey(cfg.get("seed", 0))
 
+        # SPMD mesh over the ray batch (cfg.tpu.mesh_shape = [N] or 'auto')
+        from sparf_tpu.parallel import mesh as mesh_mod
+
+        mesh_shape = cfg.tpu.get("mesh_shape")
+        if mesh_shape == "auto" and len(jax.devices()) > 1:
+            mesh_shape = [len(jax.devices())]
+        if mesh_shape and mesh_shape != "auto":
+            self.mesh = mesh_mod.make_mesh(int(mesh_shape[0]))
+            mesh_mod.set_active_mesh(self.mesh)
+            self.logger.info(f"SPMD mesh: {self.mesh}")
+        else:
+            self.mesh = None
+
         self.load_dataset()
         self.build_networks()
         self.setup_optimizer()

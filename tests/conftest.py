@@ -24,3 +24,7 @@ def rng():
     import numpy as np
 
     return np.random.RandomState(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end training tests")
