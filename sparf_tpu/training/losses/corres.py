@@ -191,6 +191,15 @@ def make_corres_loss_builder(trainer):
         )
     reduct_every = float(cfg.get("corres_weight_reduct_at_x_iter", 10000))
     compute_photo = bool(cfg.get("compute_photo_on_matches", False))
+    # debugging: substitute GT depth for the rendered depth -> the corres loss
+    # becomes a pure pose signal (reference flag corres_loss.py:43, vestigial
+    # there; functional here)
+    use_gt_depth = bool(cfg.get("use_gt_depth", False)) and "depth_gt" in scene
+    if use_gt_depth:
+        H_img, W_img = trainer.train_scene_np["image"].shape[-2:]
+        depth_gt_flat = jnp.asarray(
+            trainer.train_scene_np["depth_gt"].reshape(trainer.n_train_views, -1)
+        )
 
     def make(fine_enabled: bool):
         def builder(nerf_params, poses_w2c, key, iteration, progress):
@@ -242,15 +251,29 @@ def make_corres_loss_builder(trainer):
                 )
                 return l1 + l2
 
-            loss_corres = both_directions(
-                ret_self["depth"][0, :, 0], ret_other["depth"][0, :, 0]
-            )
-            has_fine = "depth_fine" in ret_self
-            if has_fine:
-                loss_corres = loss_corres + both_directions(
-                    ret_self["depth_fine"][0, :, 0], ret_other["depth_fine"][0, :, 0]
+            if use_gt_depth:
+                def gt_depth_at(pix, idx_img):
+                    flat = jnp.clip(
+                        jnp.round(pix[:, 1]).astype(jnp.int32) * W_img
+                        + jnp.round(pix[:, 0]).astype(jnp.int32),
+                        0, H_img * W_img - 1,
+                    )
+                    return jnp.take(depth_gt_flat, idx_img, axis=0)[flat]
+
+                loss_corres = both_directions(
+                    gt_depth_at(pix_self, id_self), gt_depth_at(pix_other, id_other)
+                ) / 2.0
+                has_fine = False
+            else:
+                loss_corres = both_directions(
+                    ret_self["depth"][0, :, 0], ret_other["depth"][0, :, 0]
                 )
-            loss_corres = loss_corres / (4.0 if has_fine else 2.0)
+                has_fine = "depth_fine" in ret_self
+                if has_fine:
+                    loss_corres = loss_corres + both_directions(
+                        ret_self["depth_fine"][0, :, 0], ret_other["depth_fine"][0, :, 0]
+                    )
+                loss_corres = loss_corres / (4.0 if has_fine else 2.0)
 
             # schedules (base_corres_loss.py:203-213 + start_iter gate)
             gate = L.iteration_gate(iteration, start_iter)

@@ -205,6 +205,8 @@ class NerfTrainerPerScene:
             self.load_snapshot("latest")
         self.logger.info(f"training from iteration {self.iteration} to {cfg.max_iter}")
         t_start = time.time()
+        t_last_log = time.time()
+        it_last_log = self.iteration
         it = self.iteration
         while it < cfg.max_iter:
             self.on_iteration_start(it)
@@ -220,12 +222,15 @@ class NerfTrainerPerScene:
                 self.timer.add_process_time()
                 self.summary.update_from_dict(stats_np)
                 self.writer.write_event("train", stats_np, it)
+                now = time.time()
+                its = (it - it_last_log) / max(now - t_last_log, 1e-9)
+                t_last_log, it_last_log = now, it
                 self.logger.info(
                     f"iter {it}/{cfg.max_iter} "
                     + " ".join(f"{k}={v:.4g}" for k, v in sorted(stats_np.items())
                                if k in ("all", "render", "corres", "depth_cons", "mse",
                                          "lr", "error_R", "error_t", "psnr"))
-                    + f" it/s={1.0 / max(self.timer.get_process_time() / max(cfg.log_steps,1), 1e-9) * cfg.log_steps:.1f}"
+                    + f" it/s={its:.1f}"
                 )
                 self.timer.reset()
             if it % cfg.val_steps == 0:
