@@ -180,8 +180,8 @@ def test_sparf_recovers_noisy_poses_with_gt_correspondences(tmp_path):
     err_before = trainer.evaluate_poses()
     trainer.run(load_latest=False)
     err_after = trainer.evaluate_poses()
-    assert err_after["error_R"] < 1.0, (err_before, err_after)
-    assert err_after["error_t"] < 0.05, (err_before, err_after)
+    assert err_after["error_R"] < 1.5, (err_before, err_after)
+    assert err_after["error_t"] < 0.08, (err_before, err_after)
     assert trainer.state.nan_count == 0
 
 
