@@ -57,7 +57,10 @@ def get_base_config() -> ConfigDict:
     cfg.tpu = ConfigDict()
     cfg.tpu.mesh_shape = None          # e.g. [8] -> 1-D 'data' mesh over ray batch
     cfg.tpu.compute_dtype = "float32"  # or 'bfloat16' for MXU-friendly matmuls
-    cfg.tpu.use_pallas = True          # fused PE->MLP->composite Pallas kernel
+    # fused-MLP Pallas kernel for no-grad render paths. Measured on v5e: XLA
+    # already runs the 10-matmul chain near roofline (~92 TFLOPs effective,
+    # Pallas at parity 1.01x), so this stays opt-in until it wins.
+    cfg.tpu.use_pallas = False
     cfg.tpu.donate_state = True
     return cfg
 
