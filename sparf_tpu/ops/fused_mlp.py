@@ -77,8 +77,8 @@ def pack_weights(params: Dict[str, Any], cfg: MLPConfig) -> Tuple[List[Array], d
         ops += [Wp, bp]
         in_dim_p = _pad_to(out_dim)
 
-    # rgb head: input = [feat | view_enc]
-    in_dim_p = _pad_to(feat_dim) + d_view_p
+    # rgb head: input = [feat | view_enc] (feat only when not view_dep)
+    in_dim_p = _pad_to(feat_dim) + (d_view_p if cfg.view_dep else 0)
     for li, (W, b) in enumerate(params["rgb"]):
         out_dim, in_dim = W.shape
         out_p = _pad_to(out_dim)
