@@ -50,13 +50,22 @@ def run_training(args, extra_overrides):
     workspace = os.path.join(args.workspace_dir, project)
 
     trainer = define_trainer(cfg, workspace=workspace, debug=args.debug)
-    trainer.run(load_latest=not args.no_resume)
 
-    if args.render_video_only:
-        from sparf_tpu.utils.video import generate_videos_synthesis
-
-        generate_videos_synthesis(trainer)
+    if args.test_metrics_only:
+        if not trainer.load_snapshot("latest"):
+            raise FileNotFoundError(f"no snapshot to evaluate in {workspace}")
+        trainer.evaluate_full(out_dir=os.path.join(cfg.env.eval_dir, project))
         return trainer
+    if args.render_video_only:
+        from sparf_tpu.utils.video import generate_videos_pose, generate_videos_synthesis
+
+        if not trainer.load_snapshot("latest"):
+            raise FileNotFoundError(f"no snapshot to render in {workspace}")
+        generate_videos_synthesis(trainer)
+        generate_videos_pose(trainer)
+        return trainer
+
+    trainer.run(load_latest=not args.no_resume)
     if cfg.get("do_eval", True) and not args.debug:
         trainer.evaluate_full(out_dir=os.path.join(cfg.env.eval_dir, project))
     return trainer

@@ -118,10 +118,11 @@ def sample_depth_from_pdf(
     unif = 0.5 * (grid[:-1] + grid[1:])
     unif = jnp.broadcast_to(unif, (*cdf.shape[:-1], n_samples_fine))
 
-    flat_cdf = cdf.reshape(-1, cdf.shape[-1])
-    flat_u = unif.reshape(-1, n_samples_fine)
-    idx = jax.vmap(lambda c, u: jnp.searchsorted(c, u, side="right"))(flat_cdf, flat_u)
-    idx = idx.reshape(*cdf.shape[:-1], n_samples_fine)
+    # batched searchsorted(side='right') as one broadcast-compare reduction:
+    # idx = #{cdf <= u}. S is small (128), so the (B,R,Nf,S+1) bool tensor is a
+    # single fused VPU reduce — far cheaper to compile/run than vmapped
+    # searchsorted on TPU.
+    idx = jnp.sum(cdf[..., None, :] <= unif[..., :, None], axis=-1)
 
     depth_bin = jnp.linspace(depth_min, depth_max, n_samples_coarse + 1)
     depth_bin = jnp.broadcast_to(depth_bin, (*cdf.shape[:-1], n_samples_coarse + 1))

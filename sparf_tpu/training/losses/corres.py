@@ -118,6 +118,36 @@ def build_correspondence_pools(cfg, scene_np, logger=None) -> Dict[str, np.ndarr
     )
 
 
+def compute_flow_metrics(pools_np: Dict[str, np.ndarray], scene_np) -> Dict[str, float]:
+    """EPE/PCK of the precomputed correspondences vs GT-depth correspondences
+    (reference correspondence_utils.py:94-126, logged when depth_gt exists)."""
+    if pools_np.get("n_pairs", 0) == 0 or "depth_gt" not in scene_np:
+        return {}
+    from sparf_tpu.models import flow_net
+
+    combi = pools_np["combi_list"]
+    gt_corres, gt_conf = flow_net.compute_gt_flow_of_combi_list(scene_np, combi)
+    pred = pools_np["corres_maps"]
+    pred_valid = pools_np["mask_valid"][:, 0].astype(bool)
+    gt_valid = gt_conf[:, 0] > 0.5
+    err = np.linalg.norm(pred - gt_corres, axis=1)
+
+    out = {}
+    m_all = gt_valid
+    if m_all.any():
+        e = err[m_all]
+        out["avg_epe_all"] = float(e.mean())
+        out["avg_pck_1_all"] = float((e <= 1).mean())
+        out["avg_pck_3_all"] = float((e <= 3).mean())
+    m_conf = gt_valid & pred_valid
+    if m_conf.any():
+        e = err[m_conf]
+        out["avg_epe_in_conf"] = float(e.mean())
+        out["avg_pck_1_in_conf"] = float((e <= 1).mean())
+        out["avg_pck_3_in_conf"] = float((e <= 3).mean())
+    return out
+
+
 # ---------------------------------------------------------------------------
 # jitted loss
 # ---------------------------------------------------------------------------
@@ -161,6 +191,13 @@ def make_corres_loss_builder(trainer):
     cfg = trainer.cfg
     pools_np = build_correspondence_pools(cfg, trainer.train_scene_np, trainer.logger)
     trainer.corres_pools = pools_np  # exposed for tests/flow metrics
+    flow_stats = compute_flow_metrics(pools_np, trainer.train_scene_np)
+    if flow_stats:
+        trainer.logger.info(
+            "flow quality vs GT: "
+            + " ".join(f"{k}={v:.3f}" for k, v in sorted(flow_stats.items()))
+        )
+        trainer.writer.write_event("train", flow_stats, 0)
     if pools_np["n_pairs"] == 0:
         def make_empty(fine_enabled):
             def builder(nerf_params, poses_w2c, key, iteration, progress):

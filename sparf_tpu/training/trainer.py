@@ -208,7 +208,16 @@ class NerfTrainerPerScene:
         t_last_log = time.time()
         it_last_log = self.iteration
         it = self.iteration
+        # optional device profiling window (SURVEY.md 5.1 TPU equivalent)
+        profile_at = cfg.tpu.get("profile_at_iter")
+        profile_n = int(cfg.tpu.get("profile_n_steps", 5) or 5)
         while it < cfg.max_iter:
+            if profile_at is not None and it == profile_at:
+                jax.profiler.start_trace(os.path.join(self.workspace, "profile"))
+            if profile_at is not None and it == profile_at + profile_n:
+                jax.block_until_ready(self.state.iteration)
+                jax.profiler.stop_trace()
+                self.logger.info(f"wrote profiler trace to {self.workspace}/profile")
             self.on_iteration_start(it)
             step = self.get_step(it)
             self.timer.add_prepare_time()
