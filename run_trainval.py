@@ -15,18 +15,19 @@ import sys
 
 
 def build_env(args, cfg):
-    """Machine-local paths (reference source/admin env settings)."""
-    from sparf_tpu.configs.config import ConfigDict
+    """Machine-local paths: local_settings/env-vars, overridden by CLI args."""
+    from sparf_tpu.admin import env_settings
 
-    env = ConfigDict(
-        workspace_dir=args.workspace_dir,
-        eval_dir=os.path.join(args.workspace_dir, "eval"),
-        llff=args.data_root,
-        dtu=args.data_root,
-        replica=args.data_root,
-        dtu_mask=args.dtu_mask_root,
-        dtu_depth=args.dtu_depth_root,
-    )
+    env = env_settings()
+    if args.workspace_dir:
+        env.workspace_dir = args.workspace_dir
+    env.eval_dir = env.get("eval_dir") or os.path.join(env.workspace_dir, "eval")
+    if args.data_root:
+        env.llff = env.dtu = env.replica = args.data_root
+    if args.dtu_mask_root:
+        env.dtu_mask = args.dtu_mask_root
+    if args.dtu_depth_root:
+        env.dtu_depth = args.dtu_depth_root
     cfg.env = env
     return cfg
 

@@ -68,13 +68,19 @@ def pose_lr_schedule(
     return lambda step: base(step) * jnp.minimum(1.0, step / warmup_pose)
 
 
-def make_optimizer(lr_fn: Callable, clip_norm: Optional[float]) -> optax.GradientTransformation:
+def make_optimizer(
+    lr_fn: Callable, clip_norm: Optional[float], grad_acc_steps: int = 1
+) -> optax.GradientTransformation:
     chain = []
     if clip_norm:
         chain.append(optax.clip_by_global_norm(clip_norm))
     chain.append(optax.scale_by_adam(b1=0.9, b2=0.999))
     chain.append(optax.scale_by_schedule(lambda step: -lr_fn(step)))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if grad_acc_steps and grad_acc_steps > 1:
+        # gradient accumulation (reference grad_acc_steps, base_trainer.py:395-403)
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_acc_steps)
+    return tx
 
 
 def tree_all_finite(tree) -> Array:

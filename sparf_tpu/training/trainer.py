@@ -118,7 +118,7 @@ class NerfTrainerPerScene:
         cfg = self.cfg
         lr_fn = engine.exponential_lr(cfg.optim.lr, cfg.optim.get("lr_end"), cfg.max_iter)
         clip = cfg.get("nerf_gradient_clipping") if cfg.get("clip_by_norm", True) else None
-        self.tx_nerf = engine.make_optimizer(lr_fn, clip)
+        self.tx_nerf = engine.make_optimizer(lr_fn, clip, int(cfg.get("grad_acc_steps", 1) or 1))
         self.lr_fn = lr_fn
 
     def define_loss_module(self):
