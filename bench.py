@@ -67,21 +67,33 @@ def main():
     args = parser.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     trainer = build_trainer(args.tiny)
-    step = trainer.get_step(0)
-    state = trainer.state
-    for _ in range(args.warmup):
-        state, stats = step(state)
-    jax.block_until_ready(stats["all"])
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, stats = step(state)
-    jax.block_until_ready(stats["all"])
-    dt = time.perf_counter() - t0
+    def measure(iteration: int) -> float:
+        step = trainer.get_step(iteration)
+        state = trainer.state.replace(
+            iteration=jnp.asarray(iteration, jnp.int32),
+            iteration_nerf=jnp.asarray(iteration, jnp.int32),
+        )
+        for _ in range(args.warmup):
+            state, stats = step(state)
+        jax.block_until_ready(stats["all"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, stats = step(state)
+        jax.block_until_ready(stats["all"])
+        return (time.perf_counter() - t0) / args.steps, stats
 
-    iters_per_sec = args.steps / dt
+    # the joint schedule spends 30% of iterations in the coarse joint stage and
+    # 70% with fine sampling enabled — measure both, report the weighted rate
+    ratio = float(trainer.cfg.get("ratio_end_joint_nerf_pose_refinement") or 0.3)
+    dt_coarse, _ = measure(0)
+    dt_fine, stats = measure(int(trainer.cfg.max_iter * (ratio + 0.05)))
+    dt = ratio * dt_coarse + (1 - ratio) * dt_fine
+
+    iters_per_sec = 1.0 / dt
     rays_per_step = (
         trainer.cfg.nerf.rand_rays  # photometric
         + 2 * (trainer.cfg.nerf.rand_rays // 2)  # corres, both views
@@ -100,7 +112,11 @@ def main():
             "rays_per_step": int(rays_per_step),
             "samples_per_ray": int(samples),
             "ray_samples_per_sec": int(rays_per_step * samples * iters_per_sec),
+            "it_per_sec_coarse_stage": round(1.0 / dt_coarse, 3),
+            "it_per_sec_fine_stage": round(1.0 / dt_fine, 3),
+            "projected_100k_iter_minutes": round(100000 * dt / 60, 1),
             "device": str(jax.devices()[0]),
+            "n_devices": jax.device_count(),
             "tiny": bool(args.tiny),
             "loss": float(np.asarray(stats["all"])),
         },

@@ -242,6 +242,8 @@ class NerfTrainerPerScene:
                     + f" it/s={its:.1f}"
                 )
                 self.timer.reset()
+            if it % cfg.vis_steps == 0:
+                self.visualize_train_view(it)
             if it % cfg.val_steps == 0:
                 self.validate(it)
             if it % cfg.snapshot_steps == 0:
@@ -256,6 +258,45 @@ class NerfTrainerPerScene:
 
     def make_results_dict_low_freq(self) -> Dict[str, float]:
         return {}
+
+    def visualize_train_view(self, iteration: int):
+        """Render a random train view; log GT/render/error/depth panel
+        (reference base.py:600-726 septych)."""
+        from sparf_tpu.utils import vis
+
+        H, W = self.train_scene_np["image"].shape[-2:]
+        idx = int(np.random.randint(self.n_train_views))
+        pose = self.current_poses_w2c()[idx : idx + 1]
+        progress = jnp.asarray(
+            min(1.0, int(np.asarray(self.state.iteration_nerf)) / self.cfg.max_iter)
+            if self.cfg.get("barf_c2f") is not None else 1.0
+        )
+        out = renderer_mod.render_image_chunked(
+            self.state.nerf_params, self.render_cfg, pose,
+            self.train_scene["intr"][idx : idx + 1], H, W,
+            self.train_scene["depth_range"][idx], progress,
+            fine_enabled=self.fine_enabled_at(iteration),
+            chunk=self.cfg.nerf.rand_rays, impl=self.mlp_impl,
+        )
+        key = "rgb_fine" if "rgb_fine" in out else "rgb"
+        dkey = "depth_fine" if "depth_fine" in out else "depth"
+        okey = "opacity_fine" if "opacity_fine" in out else "opacity"
+        panel = vis.render_panel(
+            gt_rgb=self.train_scene_np["image"][idx].transpose(1, 2, 0),
+            pred_rgb=np.asarray(out[key]).reshape(H, W, 3),
+            pred_depth=np.asarray(out[dkey]).reshape(H, W),
+            opacity=np.asarray(out[okey]).reshape(H, W),
+            gt_depth=self.train_scene_np.get("depth_gt", [None] * (idx + 1))[idx]
+            if "depth_gt" in self.train_scene_np else None,
+        )
+        self.writer.write_image("train", {f"render_view{idx}": panel}, iteration)
+        if hasattr(self, "pose_cfg"):
+            frusta = vis.plot_camera_frusta(
+                [("optimized", np.asarray(self.current_poses_w2c()), "tab:red"),
+                 ("GT", self.train_scene_np["pose"], "tab:blue")],
+                title=f"iter {iteration}",
+            )
+            self.writer.write_image("train", {"poses": frusta}, iteration)
 
     # ------------------------------------------------------------ validation
 
@@ -356,6 +397,22 @@ class NerfTrainerPerScene:
                 scaling_factor_for_pred_depth=depth_scale,
             )
             per_image.append(res)
+            if save_ind_files:
+                # per-image renders (reference save_ind_files, base.py:506-597)
+                import imageio.v2 as imageio
+
+                from sparf_tpu.utils import vis
+
+                rdir = os.path.join(out_dir or self.workspace, "renders")
+                os.makedirs(rdir, exist_ok=True)
+                name = test_scene_np.get("rgb_path", [f"{i:03d}" for i in range(999)])[idx]
+                stem = os.path.splitext(os.path.basename(str(name)))[0]
+                pred_hwc = np.asarray(pred_rgb[0]).transpose(1, 2, 0)
+                imageio.imwrite(os.path.join(rdir, f"{stem}_pred.png"),
+                                (np.clip(pred_hwc, 0, 1) * 255).astype(np.uint8))
+                depth_img = vis.colorize(np.asarray(out[dkey]).reshape(H, W))
+                imageio.imwrite(os.path.join(rdir, f"{stem}_depth.png"),
+                                (depth_img * 255).astype(np.uint8))
         mean = {
             k: float(np.mean([r[k] for r in per_image]))
             for k in per_image[0]
