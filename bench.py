@@ -37,6 +37,8 @@ def build_trainer(tiny: bool):
         max_iter=100000,
         use_gt_correspondences=True,  # matcher runs offline; not part of step timing
         min_nbr_matches=100,
+        # both stages are measured from the same initial state
+        tpu=ConfigDict(donate_state=False),
     )
     if tiny:
         over = override_options(

@@ -43,12 +43,23 @@ class RenderConfig:
     rand_rays: int = 2048
     setbg_opaque: bool = False
     ndc: bool = False
+    mlp_fine: Optional[MLPConfig] = None  # distinct fine arch (arch.layers_feat_fine)
+
+    @property
+    def fine_mlp(self) -> MLPConfig:
+        return self.mlp_fine or self.mlp
 
     @classmethod
     def from_config(cls, cfg) -> "RenderConfig":
         setbg = bool(cfg.nerf.setbg_opaque) or bool(cfg.get("mask_img", False))
+        mlp = MLPConfig.from_config(cfg)
+        mlp_fine = None
+        if cfg.arch.get("layers_feat_fine"):
+            from dataclasses import replace as dc_replace
+
+            mlp_fine = dc_replace(mlp, layers_feat=tuple(cfg.arch.layers_feat_fine[1:]))
         return cls(
-            mlp=MLPConfig.from_config(cfg),
+            mlp=mlp,
             sample_intvs=cfg.nerf.sample_intvs,
             sample_intvs_fine=cfg.nerf.sample_intvs_fine,
             fine_sampling=cfg.nerf.fine_sampling,
@@ -57,6 +68,7 @@ class RenderConfig:
             rand_rays=cfg.nerf.rand_rays,
             setbg_opaque=setbg,
             ndc=bool(cfg.camera.ndc),
+            mlp_fine=mlp_fine,
         )
 
 
@@ -173,10 +185,11 @@ def forward_samples(
     progress: Array,
     density_noise_key: Optional[Array] = None,
     impl: str = "xla",
+    mlp_cfg: Optional[MLPConfig] = None,
 ) -> Dict[str, Array]:
     """Points from depths -> MLP (frequency_nerf.py:260-281)."""
     pts = camera.get_3d_points_from_depth(center, ray, depth_samples, multi_samples=True)
-    return _FORWARD_IMPL[impl](params, cfg.mlp, pts, ray, progress, density_noise_key)
+    return _FORWARD_IMPL[impl](params, mlp_cfg or cfg.mlp, pts, ray, progress, density_noise_key)
 
 
 # ---------------------------------------------------------------------------
@@ -226,7 +239,7 @@ def render_rays(
         depth_all = jnp.concatenate([depth_samples, jax.lax.stop_gradient(depth_fine)], axis=2)
         depth_all = jnp.sort(depth_all, axis=2)
         pred_f = forward_samples(params["fine"], cfg, center, ray, depth_all, progress,
-                                 density_noise_key=None, impl=impl)
+                                 density_noise_key=None, impl=impl, mlp_cfg=cfg.fine_mlp)
         out_f = nerf_mlp.composite(ray, pred_f["rgb_samples"], pred_f["density_samples"],
                                    depth_all, cfg.setbg_opaque)
         out_f["t"] = depth_all
@@ -340,7 +353,8 @@ def render_to_max(
     out_all.update(out)
     if cfg.fine_sampling and fine_enabled:
         # same samples evaluated through the fine MLP (renderer.py:578-590)
-        pred_f = forward_samples(params["fine"], cfg, center, ray, depth_samples, progress, impl=impl)
+        pred_f = forward_samples(params["fine"], cfg, center, ray, depth_samples, progress,
+                                 impl=impl, mlp_cfg=cfg.fine_mlp)
         out_f = nerf_mlp.composite(ray, pred_f["rgb_samples"], pred_f["density_samples"],
                                    depth_samples, cfg.setbg_opaque)
         out_f["t"] = depth_samples
@@ -353,5 +367,5 @@ def init_graph_params(key: Array, cfg: RenderConfig) -> Dict[str, Any]:
     k1, k2 = jax.random.split(key)
     params = {"coarse": nerf_mlp.init_nerf_params(k1, cfg.mlp)}
     if cfg.fine_sampling:
-        params["fine"] = nerf_mlp.init_nerf_params(k2, cfg.mlp)
+        params["fine"] = nerf_mlp.init_nerf_params(k2, cfg.fine_mlp)
     return params
