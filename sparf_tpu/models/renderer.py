@@ -72,6 +72,14 @@ class RenderConfig:
         )
 
 
+def render_depth_range(cfg, scene) -> "Array":
+    """Depth range used for sampling: the raw config range for the inverse
+    parametrization, the dataset near/far otherwise (renderer.py:105-108)."""
+    if cfg.nerf.depth.param == "inverse":
+        return jnp.asarray(cfg.nerf.depth.range, jnp.float32)
+    return scene["depth_range"][0]
+
+
 # ---------------------------------------------------------------------------
 # depth sampling (renderer.py:383-456)
 # ---------------------------------------------------------------------------

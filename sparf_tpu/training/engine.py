@@ -137,7 +137,7 @@ def default_photometric_loss_builder(cfg, render_cfg: RenderConfig, scene, sampl
 
         out = renderer_mod.render_at_pixels(
             nerf_params, render_cfg, poses_w2c, scene["intr"], pixels,
-            scene["depth_range"][0], progress, key=k_render,
+            renderer_mod.render_depth_range(cfg, scene), progress, key=k_render,
             stratified=True, fine_enabled=fine_enabled, impl=impl,
         )
         out["ray_idx"] = ray_idx

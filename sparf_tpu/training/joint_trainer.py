@@ -250,7 +250,8 @@ class PoseAndNerfTrainerPerScene(NerfTrainerPerScene):
         key = jax.random.fold_in(self.base_key, 1000 + idx)
         return self._test_optim_step(
             self.state.nerf_params, pose, test_scene["image"][idx : idx + 1],
-            test_scene["intr"][idx : idx + 1], test_scene["depth_range"][idx], key,
+            test_scene["intr"][idx : idx + 1],
+            renderer_mod.render_depth_range(self.cfg, test_scene), key,
         )
 
     def evaluate_full(self, save_ind_files: bool = False, out_dir: Optional[str] = None,

@@ -70,7 +70,7 @@ def make_colmap_depth_loss_builder(trainer):
 
             ret = renderer_mod.render_at_pixels(
                 nerf_params, render_cfg, poses_w2c, scene["intr"], pix,
-                scene["depth_range"][0], progress, key=k_r, stratified=True,
+                renderer_mod.render_depth_range(cfg, scene), progress, key=k_r, stratified=True,
                 fine_enabled=fine_enabled, impl=impl,
             )
 

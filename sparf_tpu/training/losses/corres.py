@@ -257,7 +257,7 @@ def make_corres_loss_builder(trainer):
             pose_other = jnp.take(poses_w2c, id_other, axis=0)[None]
             intr_self = jnp.take(scene["intr"], id_self, axis=0)[None]
             intr_other = jnp.take(scene["intr"], id_other, axis=0)[None]
-            depth_range = scene["depth_range"][0]
+            depth_range = renderer_mod.render_depth_range(cfg, scene)
 
             ret_self = renderer_mod.render_at_pixels(
                 nerf_params, render_cfg, pose_self, intr_self, pix_self[None],

@@ -92,7 +92,8 @@ def make_depth_cons_loss_builder(trainer):
             pose_ref = jnp.take(poses_det, id_self, axis=0)[None]       # (1,3,4)
             pose_c2w_ref4 = jnp.take(poses_c2w_4, id_self, axis=0)
             intr_ref = jnp.take(scene["intr"], id_self, axis=0)[None]   # (1,3,3)
-            depth_range = scene["depth_range"][0]
+            depth_range = renderer_mod.render_depth_range(cfg, scene)
+            near = scene["depth_range"][0, 0]
 
             # render ref view (with grad wrt nerf params; poses detached)
             ret_ref = renderer_mod.render_at_pixels(
@@ -125,7 +126,6 @@ def make_depth_cons_loss_builder(trainer):
             uv_hom = camera.cam2img(pts_cam, intr_ref)
             pts2d = (uv_hom[..., :2] / (uv_hom[..., 2:] + 1e-6))[0]  # (N,2)
 
-            near = depth_range[0]
             valid = (
                 (pts2d[:, 0] >= 0) & (pts2d[:, 1] >= 0)
                 & (pts2d[:, 0] <= W - 1) & (pts2d[:, 1] <= H - 1)

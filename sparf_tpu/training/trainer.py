@@ -274,7 +274,7 @@ class NerfTrainerPerScene:
         out = renderer_mod.render_image_chunked(
             self.state.nerf_params, self.render_cfg, pose,
             self.train_scene["intr"][idx : idx + 1], H, W,
-            self.train_scene["depth_range"][idx], progress,
+            renderer_mod.render_depth_range(self.cfg, self.train_scene), progress,
             fine_enabled=self.fine_enabled_at(iteration),
             chunk=self.cfg.nerf.rand_rays, impl=self.mlp_impl,
         )
@@ -318,7 +318,7 @@ class NerfTrainerPerScene:
         return renderer_mod.render_image_chunked(
             self.state.nerf_params, self.render_cfg, pose,
             self.val_scene["intr"][idx : idx + 1], H, W,
-            self.val_scene["depth_range"][idx], progress,
+            renderer_mod.render_depth_range(self.cfg, self.val_scene), progress,
             fine_enabled=fine_enabled, chunk=self.cfg.nerf.rand_rays,
             impl=self.mlp_impl,
         )
@@ -378,7 +378,7 @@ class NerfTrainerPerScene:
             out = renderer_mod.render_image_chunked(
                 self.state.nerf_params, self.render_cfg, pose,
                 test_scene["intr"][idx : idx + 1], H, W,
-                test_scene["depth_range"][idx], progress,
+                renderer_mod.render_depth_range(cfg, test_scene), progress,
                 fine_enabled=fine_enabled, chunk=cfg.nerf.rand_rays, impl=self.mlp_impl,
             )
             key = "rgb_fine" if "rgb_fine" in out else "rgb"

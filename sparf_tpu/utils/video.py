@@ -63,7 +63,7 @@ def generate_videos_synthesis(trainer, out_dir: Optional[str] = None,
     H, W = trainer.train_scene_np["image"].shape[-2:]
     poses = novel_view_poses_w2c(trainer, n_frames)
     intr = trainer.train_scene["intr"][:1]
-    depth_range = trainer.train_scene["depth_range"][0]
+    depth_range = renderer_mod.render_depth_range(trainer.cfg, trainer.train_scene)
     fine_enabled = trainer.fine_enabled_at(trainer.iteration)
 
     rgb_frames, depth_frames = [], []
