@@ -112,7 +112,14 @@ class NerfTrainerPerScene:
 
     def build_networks(self):
         self.render_cfg = RenderConfig.from_config(self.cfg)
+        # fused Pallas fwd+bwd MLP kernel on real TPUs (1.4x render+grad,
+        # PERF_NOTES.md); XLA path elsewhere and when disabled
         self.mlp_impl = "xla"
+        if self.cfg.tpu.get("use_pallas") and jax.default_backend() not in ("cpu", "gpu"):
+            import sparf_tpu.ops  # registers the pallas impls
+
+            self.mlp_impl = "pallas_vjp"
+            self.logger.info("using fused Pallas MLP kernels (impl=pallas_vjp)")
 
     def setup_optimizer(self):
         cfg = self.cfg

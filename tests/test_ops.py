@@ -56,3 +56,43 @@ def test_pack_weights_shapes():
 def test_renderer_pallas_impl_registered():
     assert "pallas" in renderer._FORWARD_IMPL
     assert "pallas_interpret" in renderer._FORWARD_IMPL
+
+
+# ---------------------------------------------------------------------------
+# fused fwd+bwd custom-VJP kernel
+# ---------------------------------------------------------------------------
+
+
+def _interpret_pallas(monkeypatch):
+    import functools
+    import jax.experimental.pallas as plmod
+    import sparf_tpu.ops.fused_mlp_vjp as fv
+
+    orig = plmod.pallas_call
+    monkeypatch.setattr(fv.pl, "pallas_call", functools.partial(orig, interpret=True))
+    return fv
+
+
+@pytest.mark.parametrize("view_dep", [True, False])
+def test_fused_vjp_matches_xla_grads(monkeypatch, view_dep):
+    fv = _interpret_pallas(monkeypatch)
+    cfg = MLPConfig(layers_feat=(64,) * 5, layers_rgb=(32, 3), skip=(2,),
+                    L_3D=6, L_view=2, view_dep=view_dep)
+    params = nerf_mlp.init_nerf_params(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (1, 13, 4, 3))
+    ray = jax.random.normal(jax.random.PRNGKey(2), (1, 13, 3))
+    prog = jnp.asarray(0.8)
+
+    def loss(apply_fn, p, pt, r):
+        out = apply_fn(p, cfg, pt, r, prog)
+        return jnp.sum(out["rgb_samples"] ** 2) + jnp.sum(jnp.sin(out["density_samples"]))
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(nerf_mlp.nerf_apply, p, pts, ray))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(fv.nerf_apply_fused_vjp, p, pts, ray))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    err = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), g1, g2)
+    assert max(jax.tree_util.tree_leaves(err)) < 1e-4, err
+    # pose-gradient path: grads wrt points and rays
+    gp1 = jax.grad(lambda pt: loss(nerf_mlp.nerf_apply, params, pt, ray))(pts)
+    gp2 = jax.grad(lambda pt: loss(fv.nerf_apply_fused_vjp, params, pt, ray))(pts)
+    np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2), atol=1e-4)
