@@ -24,6 +24,17 @@ def make_colmap_depth_loss_builder(trainer):
     scene = trainer.train_scene
     scene_np = trainer.train_scene_np
 
+    if "colmap_depth" not in scene and cfg.model == "nerf_gt_poses":
+        # DS-NeRF use case: triangulate matches with the (ground-truth) poses
+        # to produce the sparse depth supervision (reference
+        # nerf_trainer.get_colmap_triangulation, triangulation_w_known_poses.py)
+        from sparf_tpu.colmap_init.triangulation import compute_triangulation_from_matches
+
+        trainer.logger.info("triangulating matches with known poses for SparseCOLMAPDepthLoss")
+        out = compute_triangulation_from_matches(cfg, scene_np)
+        scene["colmap_depth"] = jnp.asarray(out["colmap_depth"])
+        scene["colmap_conf"] = jnp.asarray(out["colmap_conf"])
+
     if "colmap_depth" not in scene:
         trainer.logger.warning(
             "SparseCOLMAPDepthLoss requested but scene has no colmap_depth; loss is 0"

@@ -208,6 +208,10 @@ class NerfTrainerPerScene:
 
     def run(self, load_latest: bool = True):
         cfg = self.cfg
+        if cfg.get("resume_snapshot"):
+            # weights-only warm start from another run (base.py:341-346):
+            # model parameters are taken, optimizers/iteration start fresh
+            self.load_weights_only(cfg.resume_snapshot)
         if load_latest:
             self.load_snapshot("latest")
         self.logger.info(f"training from iteration {self.iteration} to {cfg.max_iter}")
@@ -446,6 +450,26 @@ class NerfTrainerPerScene:
             self.workspace, self.state, self.best_val, self.epoch_of_best_val, is_best=is_best
         )
         self.logger.info(f"saved snapshot {os.path.basename(path)}")
+
+    def load_weights_only(self, snapshot_path: str) -> bool:
+        """Partial warm start: copy nerf/pose params from a snapshot, keep
+        fresh optimizers and iteration 0 (reference resume_snapshot semantics,
+        base.py:341-346 incl. PE-progress backfill via iteration_nerf)."""
+        workspace, which = os.path.split(os.path.abspath(snapshot_path))
+        loaded = checkpointing.load_snapshot(workspace, self.state, which)
+        if loaded is None:
+            self.logger.warning(f"resume_snapshot: nothing at {snapshot_path}")
+            return False
+        other, meta = loaded
+        self.state = self.state.replace(
+            nerf_params=other.nerf_params,
+            pose_params=other.pose_params,
+            # PE progress considered converged for old checkpoints
+            iteration_nerf=jnp.asarray(self.cfg.max_iter, jnp.int32)
+            if self.cfg.get("barf_c2f") is None else other.iteration_nerf,
+        )
+        self.logger.info(f"warm-started weights from {snapshot_path} (iter {meta['iteration']})")
+        return True
 
     def load_snapshot(self, which: str = "latest") -> bool:
         loaded = checkpointing.load_snapshot(self.workspace, self.state, which)
