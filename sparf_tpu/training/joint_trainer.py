@@ -15,6 +15,8 @@ nerf_trainer_w_fixed_colmap_poses.py:29-188:
 from __future__ import annotations
 
 import functools
+import json
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -261,10 +263,14 @@ class PoseAndNerfTrainerPerScene(NerfTrainerPerScene):
             self._test_optim_enabled = with_test_optim
         result = super().evaluate_full(save_ind_files, out_dir)
         pose_stats = self.evaluate_poses()
-        result["mean"].update({f"rot_error": pose_stats["error_R"],
-                               f"trans_error": pose_stats["error_t"]})
+        result["mean"].update({"rot_error": pose_stats["error_R"],
+                               "trans_error": pose_stats["error_t"]})
         result["mean"]["init_rot_error"] = self.initial_pose_error["error_R_before_align"]
         result["mean"]["init_trans_error"] = self.initial_pose_error["error_t_before_align"]
+        # re-dump the JSON so the pose metrics land on disk too
+        out_path = os.path.join(out_dir or self.workspace, f"{self.cfg.get('expname', 'eval')}.json")
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2, default=float)
         return result
 
 

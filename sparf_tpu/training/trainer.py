@@ -383,9 +383,14 @@ class NerfTrainerPerScene:
         fine_enabled = self.fine_enabled_at(self.iteration)
         lpips = self.get_lpips()
         per_image = []
+        # PE progress travels with the checkpoint (reference keeps it as a
+        # checkpointed parameter, frequency_nerf.py:79-85)
+        progress = jnp.asarray(
+            min(1.0, int(np.asarray(self.state.iteration_nerf)) / cfg.max_iter)
+            if cfg.get("barf_c2f") is not None else 1.0
+        )
         for idx in range(test_scene_np["image"].shape[0]):
             pose, depth_scale = self.test_pose_and_scale(test_scene, idx)
-            progress = jnp.asarray(1.0)
             out = renderer_mod.render_image_chunked(
                 self.state.nerf_params, self.render_cfg, pose,
                 test_scene["intr"][idx : idx + 1], H, W,
