@@ -18,7 +18,7 @@ The MLP evaluation dispatches to the fused Pallas kernel on TPU when enabled
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

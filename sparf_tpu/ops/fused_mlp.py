@@ -22,14 +22,12 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sparf_tpu.models import nerf_mlp
 from sparf_tpu.models import renderer as renderer_mod
 from sparf_tpu.models.nerf_mlp import MLPConfig
-from sparf_tpu.utils import camera
 
 Array = jax.Array
 

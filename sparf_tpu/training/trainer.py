@@ -24,7 +24,6 @@ from sparf_tpu.models.renderer import RenderConfig
 from sparf_tpu.training import checkpointing, engine, metrics as metrics_mod
 from sparf_tpu.training.logging_utils import SummaryBoard, TensorboardWriter, Timer, create_logger
 from sparf_tpu.training.sampling import make_ray_sampler
-from sparf_tpu.utils import camera
 
 Array = jax.Array
 
