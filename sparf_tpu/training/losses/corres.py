@@ -72,6 +72,29 @@ def build_correspondence_pools(cfg, scene_np, logger=None) -> Dict[str, np.ndarr
     min_conf = 1.0 if backend == "gt_depth" else float(cfg.get("min_conf_valid_corr", 0.95))
     mask_valid = flow_mod.get_mask_valid_from_conf_map(conf_maps, corres_maps, min_conf)
 
+    # geometric verification (no reference counterpart; default-on for the
+    # built-in matcher): epipolar RANSAC per pair kills drift that survives
+    # cycle/score gating. Inliers may still slide ALONG epipolar lines, but
+    # such matches are consistent with the true pose (they only imply a
+    # different depth) — exactly what the reprojection loss can absorb.
+    if backend != "gt_depth" and cfg.get("geometric_verification", True):
+        import cv2
+
+        for p in range(mask_valid.shape[0]):
+            ys, xs = np.where(mask_valid[p, 0])
+            if len(ys) < 16:
+                continue
+            pts1 = np.stack([xs, ys], -1).astype(np.float64)
+            pts2 = corres_maps[p, :, ys, xs].astype(np.float64)
+            F, inliers = cv2.findFundamentalMat(pts1, pts2, cv2.FM_RANSAC, 1.0, 0.999)
+            if F is None or inliers is None:
+                mask_valid[p] = False
+                continue
+            keep = inliers[:, 0].astype(bool)
+            new_mask = np.zeros_like(mask_valid[p, 0])
+            new_mask[ys[keep], xs[keep]] = True
+            mask_valid[p, 0] = new_mask
+
     min_nbr_matches = int(cfg.get("min_nbr_matches", 500))
     kept = [
         i for i in range(combi_list.shape[1]) if mask_valid[i].sum() > min_nbr_matches
