@@ -59,10 +59,19 @@ def main():
     parser.add_argument("--out_dir", default="./eval_out")
     parser.add_argument("--expname", default="eval")
     parser.add_argument("--data_root", default="")
-    parser.add_argument("--which", default="latest", help="latest | best | iter-N")
+    parser.add_argument("--which", default="latest",
+                        help="latest | best | iter-N | both (latest + best, "
+                             "like the reference's eval_after_training x2)")
     args = parser.parse_args()
-    trainer, cfg = load_model(args.ckpt_dir, args.data_root, args.which)
-    run_eval(trainer, cfg, args.out_dir, args.expname)
+    which_list = ["latest", "best"] if args.which == "both" else [args.which]
+    for which in which_list:
+        try:
+            trainer, cfg = load_model(args.ckpt_dir, args.data_root, which)
+        except FileNotFoundError as e:
+            print(f"skipping {which}: {e}")
+            continue
+        suffix = "" if len(which_list) == 1 else f"_{which.replace('-', '')}"
+        run_eval(trainer, cfg, args.out_dir, args.expname + suffix)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ def get_base_config() -> ConfigDict:
     cfg.clip_by_norm = True
     cfg.nerf_gradient_clipping = 0.1
     cfg.pose_gradient_clipping = None
+    cfg.skip_large_gradients = None  # skip steps whose grad norm exceeds this
     cfg.arch = ConfigDict()
 
     # loss module

@@ -187,6 +187,8 @@ def make_train_step(
     """
     max_iter = float(cfg.max_iter)
     apply_c2f = cfg.get("barf_c2f") is not None and cfg.get("apply_cf_pe", True)
+    # optional large-gradient step skipping (iter_based_trainer.py:133-163)
+    skip_large = cfg.get("skip_large_gradients")
 
     def get_poses(pose_params):
         if pose_cfg is not None:
@@ -221,6 +223,8 @@ def make_train_step(
         g_nerf, g_pose = grads
 
         finite = tree_all_finite(grads)
+        if skip_large:
+            finite = finite & (optax.global_norm(g_nerf) <= float(skip_large))
 
         new_nerf = state.nerf_params
         new_opt_nerf = state.opt_state_nerf
