@@ -62,7 +62,10 @@ def build_correspondence_pools(cfg, scene_np, logger=None) -> Dict[str, np.ndarr
         raise ValueError(method)
 
     backend = "gt_depth" if cfg.get("use_gt_correspondences") else cfg.get("flow_backbone", "zncc")
-    wrapper = flow_mod.FlowSelectionWrapper(backend=backend, ckpt_path=cfg.get("flow_ckpt_path"))
+    wrapper = flow_mod.FlowSelectionWrapper(
+        backend=backend, ckpt_path=cfg.get("flow_ckpt_path"),
+        adapt_steps=int(cfg.get("pdcnet_adapt_steps", 0) or 0),
+    )
     corres_maps, conf_maps = wrapper.compute_flow_and_confidence_map_of_combi_list(
         scene_np, combi_list
     )
