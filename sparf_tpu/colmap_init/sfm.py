@@ -168,16 +168,20 @@ def reprojection_errors(X: np.ndarray, obs, poses_w2c, K) -> List[float]:
 
 def run_mini_sfm(
     scene: Dict[str, np.ndarray], cfg, max_reproj_err: float = 4.0,
-    ba_iters: int = 1500,
+    ba_iters: int = 1500, matches=None,
 ) -> SfmResult:
-    """Incremental SfM over the scene's training images."""
+    """Incremental SfM over the scene's training images.
+
+    `matches`: optional precomputed (kps (K,2), pair_matches {(i,j): (idx_i,
+    xy_j)}) — used by the matcher's geometric-rematch stage, which feeds its
+    own dense flows back through this pipeline for globally consistent poses."""
     import cv2
 
     images = scene["image"]
     n, _, H, W = images.shape
     K = np.asarray(scene["intr"], np.float64)
 
-    kps, pair_matches = matches_from_dense_flow(scene, cfg)
+    kps, pair_matches = matches if matches is not None else matches_from_dense_flow(scene, cfg)
     tracks = build_tracks(kps, pair_matches, n, H, W)
     if not tracks:
         return SfmResult(
@@ -334,7 +338,10 @@ def bundle_adjust(poses_w2c, points3d, tracks, K, n_iters: int = 300):
 
     @jax.jit
     def step(params, ost):
-        l, g = jax.value_and_grad(loss_fn)(params)
+        # full-f32 matmuls: the TPU MXU default (bf16-pass) cannot resolve
+        # sub-pixel reprojection residuals at image scale
+        with jax.default_matmul_precision("float32"):
+            l, g = jax.value_and_grad(loss_fn)(params)
         upd, ost = tx.update(g, ost, params)
         return optax.apply_updates(params, upd), ost, l
 

@@ -112,16 +112,21 @@ def load_synthetic_scene(
     n_train: int = 6,
     n_test: int = 3,
     increase_depth_range_by_x_percent: float = 0.0,
+    angular_span: float = 1.0,
     **_unused,
 ) -> base.Scene:
-    """Procedural scene; `root` unused (kept for the registry signature)."""
+    """Procedural scene; `root` unused (kept for the registry signature).
+
+    `angular_span`: total azimuth range of the camera ring in radians
+    (default 1.0 rad = 57 deg — a WIDE-baseline stress rig; DTU-style 3-view
+    inputs are a few degrees apart, e.g. 0.2-0.35 rad for the whole ring)."""
     focal = 0.9 * W
     intr = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
 
     # cameras on a partial ring, looking at the origin
     n_total = n_train + n_test
-    angles = np.linspace(-0.5, 0.5, n_total)
-    heights = 0.35 * np.sin(np.linspace(0, 2.3, n_total))
+    angles = np.linspace(-0.5, 0.5, n_total) * angular_span
+    heights = 0.35 * angular_span * np.sin(np.linspace(0, 2.3, n_total))
     eyes = np.stack(
         [np.sin(angles) * CAM_RADIUS, heights, -np.cos(angles) * CAM_RADIUS], axis=-1
     )

@@ -230,6 +230,150 @@ def _local_refine(desc_t: Array, desc_s: Array, corres: Array, radius: int = 2,
     return out
 
 
+def _image_grads(img: Array) -> Tuple[Array, Array]:
+    """Central-difference gradients of (C,H,W) -> (gx, gy) same shape."""
+    pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    gx = (pad[:, 1:-1, 2:] - pad[:, 1:-1, :-2]) * 0.5
+    gy = (pad[:, 2:, 1:-1] - pad[:, :-2, 1:-1]) * 0.5
+    return gx, gy
+
+
+def _window_slices(img: Array, radius: int) -> Array:
+    """(C,H,W) -> (K,C,H,W) stack of the K=(2r+1)^2 window-shifted images."""
+    C, H, W = img.shape
+    pad = jnp.pad(img, ((0, 0), (radius, radius), (radius, radius)), mode="edge")
+    return jnp.stack(
+        [pad[:, dy : dy + H, dx : dx + W]
+         for dy in range(2 * radius + 1) for dx in range(2 * radius + 1)],
+        axis=0,
+    )
+
+
+def _bilinear_at(img: Array, x: Array, y: Array) -> Array:
+    """Sample (C,H,W) at float coords x,y of shape S -> (C, *S)."""
+    C, H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = x - x0
+    wy = y - y0
+    flat = img.reshape(C, -1)
+
+    def g(yy, xx):
+        return flat[:, (yy * W + xx).astype(jnp.int32)]
+
+    return (g(y0, x0) * (1 - wx) * (1 - wy) + g(y0, x1) * wx * (1 - wy)
+            + g(y1, x0) * (1 - wx) * wy + g(y1, x1) * wx * wy)
+
+
+def _lk_refine(img_t: Array, img_s: Array, corres: Array, radius: int = 3,
+               n_iters: int = 5, affine: bool = False, max_step: float = 1.5) -> Array:
+    """Dense inverse-compositional Lucas-Kanade refinement of a flow field.
+
+    The discrete ZNCC search + quadratic fit leaves multi-pixel drift on curved
+    surfaces under viewpoint change (appearance distortion breaks the rigid
+    patch assumption). Gradient-based IC-LK (Baker & Matthews) converges to
+    ~0.1px; with affine=True each pixel also tracks a local 2x2 linear warp,
+    absorbing the perspective distortion. All ops are dense elementwise/gather
+    — TPU-friendly, no data-dependent shapes.
+
+    img_*: (C,H,W); corres: (H,W,2) absolute source coords. Returns (H,W,2).
+    """
+    C, H, W = img_t.shape
+    k = 2 * radius + 1
+    K = k * k
+    # window offsets (K,2): relative (u,v) coords around each pixel
+    uv = jnp.asarray(
+        [[dx, dy] for dy in range(-radius, radius + 1) for dx in range(-radius, radius + 1)],
+        jnp.float32,
+    )
+    # template windows + template-gradient windows (all fixed across iters)
+    T = _window_slices(img_t, radius)                        # (K,C,H,W)
+    gx, gy = _image_grads(img_t)
+    Gx = _window_slices(gx, radius)                          # (K,C,H,W)
+    Gy = _window_slices(gy, radius)
+    T = T - jnp.mean(T, axis=(0, 1), keepdims=True)          # zero-mean windows
+
+    if affine:
+        # steepest-descent images: [gx*u, gx*v, gx, gy*u, gy*v, gy] -> (K,C,6,H,W)
+        u = uv[:, 0][:, None, None, None]
+        v = uv[:, 1][:, None, None, None]
+        sd = jnp.stack([Gx * u, Gx * v, Gx, Gy * u, Gy * v, Gy], axis=2)
+        n_p = 6
+    else:
+        sd = jnp.stack([Gx, Gy], axis=2)                     # (K,C,2,H,W)
+        n_p = 2
+    # per-pixel Gauss-Newton Hessian (n_p,n_p,H,W) + Tikhonov damping
+    Hmat = jnp.einsum("kcihw,kcjhw->hwij", sd, sd)
+    damp = 1e-4 * jnp.trace(Hmat, axis1=-2, axis2=-1)[..., None, None] + 1e-6
+    Hmat = Hmat + damp * jnp.eye(n_p)
+
+    q0 = corres  # (H,W,2)
+
+    def body(_, carry):
+        q, A = carry  # q (H,W,2), A (H,W,2,2) local linear warp (identity if !affine)
+        # sample source at q + A @ uv_i for every window offset
+        # coords: (K,H,W)
+        ax = A[..., 0, 0] * uv[:, 0][:, None, None] + A[..., 0, 1] * uv[:, 1][:, None, None]
+        ay = A[..., 1, 0] * uv[:, 0][:, None, None] + A[..., 1, 1] * uv[:, 1][:, None, None]
+        sx = q[..., 0][None] + ax
+        sy = q[..., 1][None] + ay
+        I = _bilinear_at(img_s, sx.reshape(-1), sy.reshape(-1)).reshape(C, K, H, W)
+        I = jnp.moveaxis(I, 0, 1)                            # (K,C,H,W)
+        e = (I - jnp.mean(I, axis=(0, 1), keepdims=True)) - T
+        b = jnp.einsum("kcihw,kchw->hwi", sd, e)
+        delta = jnp.linalg.solve(Hmat, b[..., None])[..., 0]  # (H,W,n_p)
+
+        if affine:
+            dA = delta.reshape(H, W, 2, 3)
+            inc = jnp.eye(2) + dA[..., :2]                   # (H,W,2,2)
+            dt = dA[..., 2]                                  # (H,W,2)
+            det = (inc[..., 0, 0] * inc[..., 1, 1] - inc[..., 0, 1] * inc[..., 1, 0])
+            det = jnp.where(jnp.abs(det) < 1e-3, 1.0, det)
+            inv = jnp.stack(
+                [jnp.stack([inc[..., 1, 1], -inc[..., 0, 1]], -1),
+                 jnp.stack([-inc[..., 1, 0], inc[..., 0, 0]], -1)], -2,
+            ) / det[..., None, None]
+            A_new = jnp.einsum("hwij,hwjk->hwik", A, inv)
+            step = -jnp.einsum("hwij,hwj->hwi", A_new, dt)
+        else:
+            A_new = A
+            step = -jnp.einsum("hwij,hwj->hwi", A, delta)
+        # per-iteration trust region: diverging pixels stay bounded, converging
+        # pixels take <1px steps anyway
+        step = jnp.clip(step, -max_step, max_step)
+        return q + step, A_new
+
+    A0 = jnp.broadcast_to(jnp.eye(2), (H, W, 2, 2))
+    q, _ = jax.lax.fori_loop(0, n_iters, body, (q0, A0))
+    # reject pixels LK pushed out of bounds or far from the discrete estimate
+    # (divergence on occlusions): fall back to the input estimate there
+    far = jnp.linalg.norm(q - q0, axis=-1) > (3.0 * n_iters * max_step)
+    return jnp.where(far[..., None], q0, q)
+
+
+def _median_filter_flow(corres: Array, radius: int = 2) -> Array:
+    """Per-channel median filter of the FLOW field (corres - pixel grid).
+
+    The scenes are rigid, so true flow fields are piecewise smooth; a median
+    sweep between pyramid levels kills isolated wrong-peak matches before they
+    seed the next level's local search (the DIS-flow/PatchMatch densification
+    trick, done dense)."""
+    H, W, _ = corres.shape
+    xx, yy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32))
+    grid = jnp.stack([xx, yy], -1)
+    flow = corres - grid
+    pad = jnp.pad(flow, ((radius, radius), (radius, radius), (0, 0)), mode="edge")
+    k = 2 * radius + 1
+    stack = jnp.stack(
+        [pad[dy : dy + H, dx : dx + W] for dy in range(k) for dx in range(k)], axis=0
+    )
+    return grid + jnp.median(stack, axis=0)
+
+
 def _match_pair_pyramid(img_t: Array, img_s: Array, n_levels: int, patch: int = 7):
     """Full hierarchical match target->source. img_*: (3,H,W).
 
@@ -242,14 +386,24 @@ def _match_pair_pyramid(img_t: Array, img_s: Array, n_levels: int, patch: int = 
         pyr_t.append(_avg_pool2(pyr_t[-1]))
         pyr_s.append(_avg_pool2(pyr_s[-1]))
 
-    # coarsest: global matching
+    # coarsest: global matching, raced per-pixel against the identity init.
+    # For few-view NeRF rigs the cameras are close, so zero flow is often the
+    # better seed than an appearance-distorted global argmax; take whichever
+    # scores higher after a local sweep.
     d_t = _patch_descriptors(pyr_t[-1], patch)
     d_s = _patch_descriptors(pyr_s[-1], patch)
-    corres = _global_match(d_t, d_s)
-    corres = _local_refine(d_t, d_s, corres, radius=2)
+    hc, wc = pyr_t[-1].shape[-2:]
+    xx, yy = jnp.meshgrid(jnp.arange(wc, dtype=jnp.float32), jnp.arange(hc, dtype=jnp.float32))
+    ident = jnp.stack([xx, yy], -1)
+    cand_g, (score_g, _) = _local_refine(d_t, d_s, _global_match(d_t, d_s), radius=2,
+                                         return_score=True)
+    cand_i, (score_i, _) = _local_refine(d_t, d_s, ident, radius=3, return_score=True)
+    corres = jnp.where((score_i >= score_g)[..., None], cand_i, cand_g)
+    corres = _median_filter_flow(corres, radius=2)
 
     # finer levels: upsample + two local-refinement sweeps (radius 3 each, so
-    # up to +-6px/level of correction on top of the inherited estimate)
+    # up to +-6px/level of correction on top of the inherited estimate),
+    # then gradient-based LK polish (translation per level, affine at full res)
     score = None
     for lvl in range(n_levels - 2, -1, -1):
         Ht, Wt = pyr_t[lvl].shape[-2:]
@@ -257,12 +411,337 @@ def _match_pair_pyramid(img_t: Array, img_s: Array, n_levels: int, patch: int = 
         d_t = _patch_descriptors(pyr_t[lvl], patch)
         d_s = _patch_descriptors(pyr_s[lvl], patch)
         corres = _local_refine(d_t, d_s, corres, radius=3)
+        corres = _median_filter_flow(corres, radius=2)
+        # NOTE: no photometric LK here. On aligned pairs the discrete ZNCC
+        # argmax is exact and the quadratic fit is ~0.3px; LK (esp. affine)
+        # slides toward blur-mismatch minima and was measured to ADD error
+        # at every operating point of this pipeline.
         corres, score = _local_refine(
             d_t, d_s, corres, radius=3, subpixel=(lvl == 0), return_score=True
         )
+        if lvl == 0:
+            corres = _median_filter_flow(corres, radius=1)
     if score is None:  # single-level fallback
         corres, score = _local_refine(d_t, d_s, corres, radius=1, return_score=True)
     return corres, score[0], score[1]
+
+
+# ---------------------------------------------------------------------------
+# geometry-guided plane-sweep rematching
+#
+# Wide-baseline pairs (the synthetic rig has 19-57 deg relative rotations;
+# DTU 3-view inputs are similar) distort patch appearance beyond what rigid
+# ZNCC + LK can absorb. For RIGID scenes the classical fix is to estimate the
+# epipolar geometry from a few confident seeds and rematch densely with
+# perspective-correct warps: sweep fronto-parallel depth planes in the target
+# frame, warp the source by each induced homography, score windowed ZNCC,
+# take the per-pixel peak over depth (+ parabola subpixel in inverse depth).
+# The reference gets wide-baseline robustness from PDC-Net's learned prior
+# instead (flow_net.py:739-767); this is the geometry-first TPU-native
+# equivalent — dense image warps + box-filter reductions, no ragged shapes.
+# ---------------------------------------------------------------------------
+
+
+def _box_sum(x: Array, radius: int) -> Array:
+    """Windowed sum over the last two dims, same shape (edge-padded)."""
+    k = 2 * radius + 1
+    nd = x.ndim
+    window = (1,) * (nd - 2) + (k, k)
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, window, (1,) * nd, "SAME"
+    )
+
+
+def _plane_sweep_pair(
+    img_t: Array, img_s: Array, A: Array, B: Array, inv_depths: Array,
+    radius: int = 2,
+) -> Tuple[Array, Array, Array]:
+    """Dense depth-sweep match target->source.
+
+    p_s ~ (A + inv_d * B) @ (x, y, 1): A = K_s R K_t^-1, B = K_s t n^T K_t^-1
+    with n = [0,0,1] (fronto-parallel planes in the target camera frame).
+    Returns (corres (H,W,2), zncc_peak (H,W), margin (H,W)).
+    """
+    C, H, W = img_t.shape
+    k2n = float(C * (2 * radius + 1) ** 2)
+    xx, yy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32))
+    grid_h = jnp.stack([xx, yy, jnp.ones_like(xx)], 0).reshape(3, -1)  # (3,HW)
+    Ag = A @ grid_h  # (3,HW), fixed across hypotheses
+    Bg = B @ grid_h
+
+    # target window statistics (fixed)
+    St = _box_sum(img_t, radius).sum(0)          # (H,W) over window+channels
+    Stt = _box_sum(img_t * img_t, radius).sum(0)
+    var_t = jnp.maximum(Stt - St * St / k2n, 1e-8)
+
+    def score_one(inv_d):
+        ph = Ag + inv_d * Bg                      # (3,HW)
+        z = ph[2]
+        x = ph[0] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        y = ph[1] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1) & (z > 1e-6)
+        warped = _bilinear_at(img_s, x, y).reshape(C, H, W)
+        Ss = _box_sum(warped, radius).sum(0)
+        Sss = _box_sum(warped * warped, radius).sum(0)
+        Sts = _box_sum(img_t * warped, radius).sum(0)
+        cov = Sts - St * Ss / k2n
+        var_s = jnp.maximum(Sss - Ss * Ss / k2n, 1e-8)
+        zncc = cov / jnp.sqrt(var_t * var_s)
+        return jnp.where(inb.reshape(H, W), zncc, -1.0)
+
+    scores = jax.lax.map(score_one, inv_depths)   # (D,H,W)
+    D = inv_depths.shape[0]
+    best = jnp.argmax(scores, axis=0)             # (H,W)
+    s0 = jnp.max(scores, axis=0)
+    margin = s0 - jnp.median(scores, axis=0)
+
+    # parabola subpixel along the inverse-depth axis
+    bm = jnp.clip(best - 1, 0, D - 1)
+    bp = jnp.clip(best + 1, 0, D - 1)
+    sm = jnp.take_along_axis(scores, bm[None], axis=0)[0]
+    sp = jnp.take_along_axis(scores, bp[None], axis=0)[0]
+    denom = sm - 2 * s0 + sp
+    off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / (denom + 1e-12), 0.0)
+    off = jnp.clip(off, -0.5, 0.5) * ((best > 0) & (best < D - 1))
+    step = inv_depths[1] - inv_depths[0] if D > 1 else jnp.asarray(0.0)
+    inv_d_star = inv_depths[best] + off * step    # (H,W)
+
+    ph = Ag.reshape(3, H, W) + inv_d_star[None] * Bg.reshape(3, H, W)
+    z = jnp.where(jnp.abs(ph[2]) < 1e-6, 1e-6, ph[2])
+    corres = jnp.stack([ph[0] / z, ph[1] / z], -1)
+    return corres, s0, margin
+
+
+def _refine_relpose_sampson(
+    R: np.ndarray, t: np.ndarray, pn_t: np.ndarray, pn_s: np.ndarray,
+    f_scale: float = 2e-3,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Polish (R, t) by minimizing robust Sampson error over the inlier set.
+
+    cv2's 5-point RANSAC returns the best minimal-sample model without a
+    final polish; a Gauss-Newton pass over all inliers cuts the rotation
+    error by ~an order of magnitude, which the plane-sweep rematch inherits
+    directly. Host-side scipy, runs once per pair per geometric iteration."""
+    from scipy.optimize import least_squares
+    from scipy.spatial.transform import Rotation
+
+    t = t / (np.linalg.norm(t) + 1e-12)
+    x0 = np.concatenate([Rotation.from_matrix(R).as_rotvec(), t])
+
+    ones = np.ones((pn_t.shape[0], 1))
+    xt = np.hstack([pn_t, ones])  # (N,3) normalized homogeneous
+    xs = np.hstack([pn_s, ones])
+
+    def residuals(x):
+        Rm = Rotation.from_rotvec(x[:3]).as_matrix()
+        tv = x[3:]
+        tv = tv / (np.linalg.norm(tv) + 1e-12)
+        E = np.array([
+            [0, -tv[2], tv[1]], [tv[2], 0, -tv[0]], [-tv[1], tv[0], 0],
+        ]) @ Rm
+        Ex = xt @ E.T          # (N,3) = E @ x_t
+        Etx = xs @ E           # (N,3) = E^T @ x_s
+        num = np.sum(xs * Ex, axis=1)
+        den = Ex[:, 0] ** 2 + Ex[:, 1] ** 2 + Etx[:, 0] ** 2 + Etx[:, 1] ** 2
+        return num / np.sqrt(np.maximum(den, 1e-12))
+
+    try:
+        sol = least_squares(residuals, x0, loss="soft_l1", f_scale=f_scale,
+                            max_nfev=100)
+        x = sol.x
+        # trim outliers at 3x the robust scale, then a plain GN polish
+        r = np.abs(residuals(x))
+        keep = r < 3.0 * f_scale
+        if keep.sum() >= 16:
+            sol2 = least_squares(
+                lambda xx: residuals(xx)[keep], x, max_nfev=60
+            )
+            x = sol2.x
+        R_out = Rotation.from_rotvec(x[:3]).as_matrix()
+        t_out = x[3:] / (np.linalg.norm(x[3:]) + 1e-12)
+        return R_out, t_out
+    except Exception:
+        return R, t
+
+
+def _relpose_from_seeds(
+    pts_t: np.ndarray, pts_s: np.ndarray, K_t: np.ndarray, K_s: np.ndarray,
+    prior: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+):
+    """Relative pose from seed matches (host, cv2/scipy).
+
+    Without a prior: 5-point RANSAC essential + cheirality + Sampson polish.
+    With a prior (R0, t0) — SPARF's operating regime is noisy-but-roughly-known
+    initial poses (the joint trainer starts from them, reference
+    joint_pose_nerf_trainer.py:41-125) — skip RANSAC and run robust Sampson
+    Gauss-Newton from the prior, which tolerates the systematic appearance
+    drift that defeats minimal-sample fits.
+
+    Returns (R, t_unit, depths_in_target_frame, depths_in_source_frame)
+    or None."""
+    import cv2
+
+    if pts_t.shape[0] < 24:
+        return None
+    # normalize so a single-K API works with two intrinsics
+    def norm(p, K):
+        return (p - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+
+    pn_t = norm(pts_t, K_t).astype(np.float64)
+    pn_s = norm(pts_s, K_s).astype(np.float64)
+    f = float(max(K_t[0, 0], K_t[1, 1]))
+
+    if prior is not None:
+        R0, t0 = prior
+        R, t_vec = _refine_relpose_sampson(
+            R0, t0, pn_t, pn_s, f_scale=2.0 / f
+        )
+        t = t_vec[:, None]
+        m = np.ones(pn_t.shape[0], bool)
+    else:
+        E, inl = cv2.findEssentialMat(
+            pn_t, pn_s, np.eye(3), method=cv2.RANSAC, prob=0.9999,
+            threshold=1.5 / f,
+        )
+        if E is None or inl is None or inl.sum() < 16:
+            return None
+        _, R, t, inl2 = cv2.recoverPose(E, pn_t, pn_s, np.eye(3), mask=inl)
+        if inl2.sum() < 16:
+            return None
+        m = inl2[:, 0].astype(bool)
+        R, t_vec = _refine_relpose_sampson(R, t[:, 0], pn_t[m], pn_s[m],
+                                           f_scale=1.5 / f)
+        t = t_vec[:, None]
+    P_t = np.hstack([np.eye(3), np.zeros((3, 1))])
+    P_s = np.hstack([R, t])
+    X = cv2.triangulatePoints(P_t, P_s, pn_t[m].T, pn_s[m].T)
+    X3 = X[:3] / np.where(np.abs(X[3]) < 1e-12, 1e-12, X[3])
+    d_t = X3[2]
+    d_s = (R @ X3 + t)[2]
+    ok = (d_t > 1e-6) & (d_s > 1e-6) & np.isfinite(d_t) & np.isfinite(d_s)
+    if ok.sum() < 8:
+        return None
+    return R, t[:, 0], d_t[ok], d_s[ok]
+
+
+def _local_depth_sweep(
+    img_t: Array, img_s: Array, A: Array, B: Array, inv_d0: Array,
+    d_inv_step: float, n_offsets: int = 8, radius: int = 1,
+) -> Tuple[Array, Array]:
+    """Per-pixel inverse-depth refinement sweep around an initial depth map.
+
+    Unlike the global homography sweep, each pixel carries its own depth, so
+    the warped windows follow the local surface (a slanted-plane sweep) —
+    tighter than fronto-parallel on curved geometry. Returns (corres, zncc)."""
+    C, H, W = img_t.shape
+    k2n = float(C * (2 * radius + 1) ** 2)
+    xx, yy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32))
+    grid_h = jnp.stack([xx, yy, jnp.ones_like(xx)], 0).reshape(3, -1)
+    Ag = (A @ grid_h).reshape(3, H, W)
+    Bg = (B @ grid_h).reshape(3, H, W)
+
+    St = _box_sum(img_t, radius).sum(0)
+    Stt = _box_sum(img_t * img_t, radius).sum(0)
+    var_t = jnp.maximum(Stt - St * St / k2n, 1e-8)
+
+    offsets = jnp.arange(-n_offsets, n_offsets + 1, dtype=jnp.float32) * d_inv_step
+
+    def score_one(j):
+        inv_d = inv_d0 + offsets[j]
+        ph = Ag + inv_d[None] * Bg
+        z = jnp.where(jnp.abs(ph[2]) < 1e-6, 1e-6, ph[2])
+        x = ph[0] / z
+        y = ph[1] / z
+        inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1) & (ph[2] > 1e-6)
+        warped = _bilinear_at(img_s, x.reshape(-1), y.reshape(-1)).reshape(C, H, W)
+        Ss = _box_sum(warped, radius).sum(0)
+        Sss = _box_sum(warped * warped, radius).sum(0)
+        Sts = _box_sum(img_t * warped, radius).sum(0)
+        cov = Sts - St * Ss / k2n
+        var_s = jnp.maximum(Sss - Ss * Ss / k2n, 1e-8)
+        return jnp.where(inb, cov / jnp.sqrt(var_t * var_s), -1.0)
+
+    scores = jax.lax.map(score_one, jnp.arange(offsets.shape[0]))  # (J,H,W)
+    J = offsets.shape[0]
+    best = jnp.argmax(scores, axis=0)
+    s0 = jnp.max(scores, axis=0)
+    bm = jnp.clip(best - 1, 0, J - 1)
+    bp = jnp.clip(best + 1, 0, J - 1)
+    sm = jnp.take_along_axis(scores, bm[None], axis=0)[0]
+    sp = jnp.take_along_axis(scores, bp[None], axis=0)[0]
+    denom = sm - 2 * s0 + sp
+    off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / (denom + 1e-12), 0.0)
+    off = jnp.clip(off, -0.5, 0.5) * ((best > 0) & (best < J - 1))
+    inv_d_star = inv_d0 + offsets[best] + off * d_inv_step
+
+    ph = Ag + inv_d_star[None] * Bg
+    z = jnp.where(jnp.abs(ph[2]) < 1e-6, 1e-6, ph[2])
+    corres = jnp.stack([ph[0] / z, ph[1] / z], -1)
+    return corres, s0
+
+
+def _geom_rematch_pair(
+    img_t: Array, img_s: Array, K_t: np.ndarray, K_s: np.ndarray,
+    R: np.ndarray, t: np.ndarray, depths: np.ndarray,
+    coarse_step_px: float = 1.0, fine_step_px: float = 0.25, max_hyp: int = 512,
+) -> Tuple[Array, Array, Array]:
+    """Two-pass depth-sweep rematch given relative pose (target->source).
+
+    Pass 1: global fronto-parallel homography sweep over the scene's depth
+    range (coarse parallax steps). Pass 2: per-pixel slanted-surface sweep
+    around the pass-1 depth (fine steps + parabola subpixel). No photometric
+    LK afterwards — on wide-baseline pairs LK drags geometry-true matches
+    toward appearance minima (measured: it doubles the EPE)."""
+    # generous range: with an imperfect (R,t) decomposition (bas-relief
+    # coupling) the per-pixel depth that lands on the true match can sit far
+    # outside the triangulated seeds' range; hypotheses are cheap, missing
+    # range is not.
+    lo = np.percentile(depths, 2) * 0.3
+    hi = np.percentile(depths, 98) * 3.0
+    inv_lo, inv_hi = 1.0 / hi, 1.0 / lo
+    f = float(max(K_s[0, 0], K_s[1, 1]))
+    parallax_per_invd = f * float(np.linalg.norm(t)) + 1e-12
+    max_parallax = parallax_per_invd * (inv_hi - inv_lo)
+    D = int(np.clip(np.ceil(max_parallax / coarse_step_px), 16, max_hyp))
+    inv_depths = jnp.linspace(inv_lo, inv_hi, D)
+
+    A = jnp.asarray(K_s @ R @ np.linalg.inv(K_t), jnp.float32)
+    B = jnp.asarray(
+        K_s @ np.outer(t, np.array([0.0, 0.0, 1.0])) @ np.linalg.inv(K_t), jnp.float32
+    )
+    corres, score, margin = _plane_sweep_pair(img_t, img_s, A, B, inv_depths, radius=1)
+
+    # recover per-pixel inverse depth from the pass-1 result, then refine
+    coarse_step_inv = (inv_hi - inv_lo) / max(D - 1, 1)
+    fine_step_inv = fine_step_px / parallax_per_invd
+    # invert corres -> inv_d via the linear-in-inv_d projection (use x unless
+    # the epipolar direction is mostly vertical)
+    xx, yy = jnp.meshgrid(
+        jnp.arange(img_t.shape[-1], dtype=jnp.float32),
+        jnp.arange(img_t.shape[-2], dtype=jnp.float32),
+    )
+    grid_h = jnp.stack([xx, yy, jnp.ones_like(xx)], 0).reshape(3, -1)
+    Ag = (A @ grid_h).reshape(3, *img_t.shape[-2:])
+    Bg = (B @ grid_h).reshape(3, *img_t.shape[-2:])
+    # solve corres_x*(A3+d*B3) = A1+d*B1 for d (and the y analog); pick the
+    # better-conditioned axis per pixel
+    num_x = corres[..., 0] * Ag[2] - Ag[0]
+    den_x = Bg[0] - corres[..., 0] * Bg[2]
+    num_y = corres[..., 1] * Ag[2] - Ag[1]
+    den_y = Bg[1] - corres[..., 1] * Bg[2]
+    use_x = jnp.abs(den_x) >= jnp.abs(den_y)
+    inv_d0 = jnp.where(
+        use_x,
+        num_x / jnp.where(jnp.abs(den_x) < 1e-9, 1e-9, den_x),
+        num_y / jnp.where(jnp.abs(den_y) < 1e-9, 1e-9, den_y),
+    )
+    inv_d0 = jnp.clip(inv_d0, inv_lo, inv_hi)
+    n_off = int(np.ceil(coarse_step_inv / fine_step_inv)) + 2
+    corres, score = _local_depth_sweep(
+        img_t, img_s, A, B, inv_d0, float(fine_step_inv), n_offsets=min(n_off, 16),
+        radius=1,
+    )
+    return corres, score, margin
 
 
 def _cycle_confidence(corres_ts: Array, corres_st: Array, sigma: float = 1.0) -> Array:
@@ -282,6 +761,241 @@ def _cycle_confidence(corres_ts: Array, corres_st: Array, sigma: float = 1.0) ->
     return jnp.exp(-(err**2) / (2 * sigma**2))
 
 
+def _sparse_guided_rematch(
+    img_t: Array, img_s: Array, corres: Array, kps: np.ndarray,
+    patch_radius: int = 5, search_radius: int = 6, min_zncc: float = 0.75,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Distortion-compensated sparse rematch for pose estimation.
+
+    Geometry-guided flows are epipolar-consistent with their own pose, so
+    pose re-estimation needs matches measured OFF that geometry. For each
+    keypoint: sample the source patch THROUGH the current flow field,
+    img_s(corres(p + u) + d), over integer offsets d, score ZNCC against the
+    target patch img_t(p + u), quadratic-subpixel the peak. Warping through
+    the exact field (not its linearization — first-order J u leaves O(u^2)
+    curvature error that was measured to bias peaks by ~2px on curved
+    surfaces) removes the appearance distortion that biases rigid-patch
+    peaks, and the +-search_radius window restores the off-epipolar error
+    signal. Returns (xy (K,2) float32, zncc (K,)) in source coords.
+    """
+    C, H, W = img_t.shape
+    K = kps.shape[0]
+    kx = jnp.asarray(kps[:, 0], jnp.float32)
+    ky = jnp.asarray(kps[:, 1], jnp.float32)
+
+    corres_img = jnp.moveaxis(corres, -1, 0)  # (2,H,W)
+
+    pr = patch_radius
+    us = jnp.arange(-pr, pr + 1, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(us, us)             # (P,P) patch offsets
+    uu = uu.reshape(-1)
+    vv = vv.reshape(-1)                       # (P2,)
+
+    # target patches (K,P2,C) sampled at p + u
+    tx = kx[:, None] + uu[None]
+    ty = ky[:, None] + vv[None]
+    T = _bilinear_at(img_t, tx.reshape(-1), ty.reshape(-1)).reshape(C, K, -1)
+    T = jnp.moveaxis(T, 0, -1)                # (K,P2,C)
+    T = T - jnp.mean(T, axis=(1, 2), keepdims=True)
+    Tn = T / (jnp.linalg.norm(T.reshape(K, -1), axis=-1)[:, None, None] + 1e-6)
+
+    # source patch anchors through the exact field: corres(p + u)  (2,K,P2)
+    cpu_ = _bilinear_at(corres_img, tx.reshape(-1), ty.reshape(-1)).reshape(2, K, -1)
+    c0 = cpu_[:, :, (cpu_.shape[-1] - 1) // 2]  # center = corres(p)  (2,K)
+
+    ds = jnp.arange(-search_radius, search_radius + 1, dtype=jnp.float32)
+
+    def score_row(dy_off):
+        def score_one(dx_off):
+            sx = cpu_[0] + dx_off
+            sy = cpu_[1] + dy_off
+            S = _bilinear_at(img_s, sx.reshape(-1), sy.reshape(-1)).reshape(C, K, -1)
+            S = jnp.moveaxis(S, 0, -1)
+            S = S - jnp.mean(S, axis=(1, 2), keepdims=True)
+            Sn = S / (jnp.linalg.norm(S.reshape(K, -1), axis=-1)[:, None, None] + 1e-6)
+            return jnp.sum(Tn * Sn, axis=(1, 2))  # (K,)
+
+        return jax.lax.map(score_one, ds)      # (D,K)
+
+    scores = jax.lax.map(score_row, ds)        # (Dy,Dx,K)
+    D = ds.shape[0]
+    flat = scores.reshape(D * D, K)
+    best = jnp.argmax(flat, axis=0)            # (K,)
+    s0 = jnp.max(flat, axis=0)
+    by = best // D
+    bx = best % D
+
+    def sub(sm, s0v, sp):
+        den = sm - 2 * s0v + sp
+        off = jnp.where(jnp.abs(den) > 1e-6, 0.5 * (sm - sp) / (den + 1e-12), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    def at(iy, ix):
+        iy = jnp.clip(iy, 0, D - 1)
+        ix = jnp.clip(ix, 0, D - 1)
+        return flat[iy * D + ix, jnp.arange(K)]
+
+    off_x = sub(at(by, bx - 1), s0, at(by, bx + 1)) * ((bx > 0) & (bx < D - 1))
+    off_y = sub(at(by - 1, bx), s0, at(by + 1, bx)) * ((by > 0) & (by < D - 1))
+    mx = c0[0] + ds[bx] + off_x
+    my = c0[1] + ds[by] + off_y
+    xy = np.stack([np.asarray(mx), np.asarray(my)], -1).astype(np.float32)
+    return xy, np.asarray(s0)
+
+
+def _sparse_matches_for_sfm(
+    imgs, flows: Dict[Tuple[int, int], tuple], unordered, H: int, W: int,
+    stride: int = 2, min_zncc: float = 0.8, max_cycle_px: float = 1.5,
+):
+    """Pose-estimation matches via sparse guided rematch on the current flows.
+
+    Cycle-checked in both directions THROUGH the rematcher itself (not the
+    flow fields, which are epipolar-consistent with the current pose)."""
+    from sparf_tpu.colmap_init.sfm import grid_keypoints
+
+    kps = grid_keypoints(H, W, stride, margin=6)
+    pair_matches = {}
+    for i, j in unordered:
+        xy_j, z1 = _sparse_guided_rematch(imgs[i], imgs[j], flows[(i, j)][0], kps)
+        xy_back, z2 = _sparse_guided_rematch(imgs[j], imgs[i], flows[(j, i)][0], xy_j)
+        cyc = np.linalg.norm(xy_back - kps, axis=-1)
+        ok = (
+            (z1 > min_zncc) & (z2 > min_zncc) & (cyc < max_cycle_px)
+            & (xy_j[:, 0] >= 0) & (xy_j[:, 0] <= W - 1)
+            & (xy_j[:, 1] >= 0) & (xy_j[:, 1] <= H - 1)
+        )
+        pair_matches[(int(i), int(j))] = (np.where(ok)[0], xy_j[ok])
+    return kps, pair_matches
+
+
+def _global_poses_from_flows(
+    images: np.ndarray, intr: np.ndarray, flows: Dict[Tuple[int, int], tuple],
+    unordered, min_conf: float = 0.85, stride: int = 2, min_score: float = 0.6,
+    ba_iters: int = 1000, matches=None,
+):
+    """Globally consistent poses + per-view depth pools from the current flows.
+
+    Samples grid matches from the dense flows (cycle+score gated) and runs the
+    built-in incremental SfM (tracks -> essential -> PnP -> JAX BA,
+    colmap_init/sfm.py) — multi-view consistency corrects pairs whose
+    independent two-view geometry is biased. Returns (poses (B,3,4) float64,
+    {view: depths (M,)}) or (None, None) when SfM cannot register all views.
+    """
+    from sparf_tpu.colmap_init import sfm as sfm_mod
+
+    B, _, H, W = images.shape
+    if matches is not None:
+        kps, pair_matches = matches
+        scene_stub = {"image": images, "intr": intr}
+        try:
+            res = sfm_mod.run_mini_sfm(
+                scene_stub, None, ba_iters=ba_iters, matches=(kps, pair_matches)
+            )
+        except Exception:
+            return None, None
+        if res.index_images_excluded or res.colmap_depth is None:
+            return None, None
+        depth_pool = {}
+        for v in range(B):
+            d = res.colmap_depth[v]
+            d = d[d > 0]
+            depth_pool[v] = d if d.size >= 8 else None
+        return res.poses_w2c[:, :3].astype(np.float64), depth_pool
+
+    kps = sfm_mod.grid_keypoints(H, W, stride)
+    kx = kps[:, 0].astype(int)
+    ky = kps[:, 1].astype(int)
+    pair_matches = {}
+    for i, j in unordered:
+        corres_ij, score_ij, _ = flows[(i, j)]
+        conf = np.asarray(_cycle_confidence(corres_ij, flows[(j, i)][0]))
+        conf = conf * (np.asarray(score_ij) >= min_score)
+        c = conf[ky, kx]
+        sel = np.where(c >= min_conf)[0]
+        xy_j = np.asarray(corres_ij)[ky[sel], kx[sel]]
+        inb = ((xy_j[:, 0] >= 0) & (xy_j[:, 0] <= W - 1)
+               & (xy_j[:, 1] >= 0) & (xy_j[:, 1] <= H - 1))
+        pair_matches[(int(i), int(j))] = (sel[inb], xy_j[inb])
+
+    scene_stub = {"image": images, "intr": intr}
+    try:
+        res = sfm_mod.run_mini_sfm(
+            scene_stub, None, ba_iters=ba_iters, matches=(kps, pair_matches)
+        )
+    except Exception:
+        return None, None
+    if res.index_images_excluded or res.colmap_depth is None:
+        return None, None
+    depth_pool = {}
+    for v in range(B):
+        d = res.colmap_depth[v]
+        d = d[d > 0]
+        depth_pool[v] = d if d.size >= 8 else None
+    return res.poses_w2c[:, :3].astype(np.float64), depth_pool
+
+
+def _pairwise_geom_round(
+    imgs, intr: np.ndarray, flows: Dict[Tuple[int, int], tuple], unordered,
+    init_poses_w2c: Optional[np.ndarray], lk_for_next: bool,
+) -> None:
+    """One round of independent per-pair pose + sweep (fallback when global
+    SfM fails). Mutates `flows` in place."""
+    for t, s in unordered:
+        K_t, K_s = intr[t], intr[s]
+        prior = None
+        if init_poses_w2c is not None:
+            P = np.asarray(init_poses_w2c)
+            R0 = P[s, :3, :3] @ P[t, :3, :3].T
+            t0 = P[s, :3, 3] - R0 @ P[t, :3, 3]
+            nrm = np.linalg.norm(t0)
+            if nrm > 1e-9:
+                prior = (R0, t0 / nrm)
+        seeds = _select_seed_matches(flows[(t, s)], flows[(s, t)])
+        if seeds is None:
+            continue
+        rp = _relpose_from_seeds(seeds[0], seeds[1], K_t, K_s, prior=prior)
+        if rp is None:
+            continue
+        R, tvec, d_t, d_s = rp
+        c_ts, s_ts, m_ts = _geom_rematch_pair(
+            imgs[t], imgs[s], K_t, K_s, R, tvec, d_t
+        )
+        c_st, s_st, m_st = _geom_rematch_pair(
+            imgs[s], imgs[t], K_s, K_t, R.T, -R.T @ tvec, d_s
+        )
+        if lk_for_next:
+            c_ts = _lk_refine(imgs[t], imgs[s], c_ts, radius=3, n_iters=3,
+                              max_step=0.5)
+            c_st = _lk_refine(imgs[s], imgs[t], c_st, radius=3, n_iters=3,
+                              max_step=0.5)
+        flows[(t, s)] = (c_ts, s_ts, m_ts)
+        flows[(s, t)] = (c_st, s_st, m_st)
+
+
+def _select_seed_matches(
+    flow_ts: tuple, flow_st: tuple, max_seeds: int = 4000
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """High-confidence sparse matches from a dense flow for pose RANSAC."""
+    corres_ts, score_ts, margin_ts = flow_ts
+    conf = np.asarray(_cycle_confidence(corres_ts, flow_st[0]))
+    sc = np.asarray(score_ts)
+    mg = np.asarray(margin_ts)
+    c = np.asarray(corres_ts)
+    for thr in ((0.6, 0.8, 0.08), (0.3, 0.65, 0.04)):
+        m = (conf > thr[0]) & (sc > thr[1]) & (mg > thr[2])
+        ys, xs = np.where(m)
+        if len(ys) >= 48:
+            break
+    if len(ys) < 24:
+        return None
+    if len(ys) > max_seeds:
+        order = np.argsort(-(conf * sc)[ys, xs])[:max_seeds]
+        ys, xs = ys[order], xs[order]
+    pts_t = np.stack([xs, ys], -1).astype(np.float64)
+    pts_s = c[ys, xs].astype(np.float64)
+    return pts_t, pts_s
+
+
 def compute_zncc_flow_of_combi_list(
     images: np.ndarray,
     combi_list: np.ndarray,
@@ -289,13 +1003,44 @@ def compute_zncc_flow_of_combi_list(
     patch: int = 7,
     min_zncc_score: float = 0.7,
     min_margin: float = 0.05,
+    intr: Optional[np.ndarray] = None,
+    init_poses_w2c: Optional[np.ndarray] = None,
+    geom_iters: int = 3,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Dense matching for every pair; returns (P,2,H,W) corres + (P,1,H,W) conf.
+
+    Stage 1: hierarchical ZNCC + LK (appearance only).
+    Stage 2 (when `intr` (B,3,3) is given): per unordered pair, estimate the
+      relative pose from stage-1 seeds — robust Sampson GN from the pair's
+      initial-pose prior when `init_poses_w2c` (B,3,4) is given (SPARF's
+      noisy-init regime), 5-point RANSAC otherwise — then geometry-guided
+      plane-sweep rematch in both directions (perspective-correct warps,
+      robust to the wide-baseline appearance distortion that defeats rigid
+      patches). Pose-refinement iterations add a gentle LK polish so the
+      next Sampson fit sees off-epipolar evidence (sweep output alone is
+      epipolar-consistent with the CURRENT pose by construction); the final
+      emitted flow is sweep-pure (LK drags wide-baseline matches toward
+      appearance minima — measured to double the EPE).
 
     Confidence = cycle-consistency gaussian x distinctiveness gate (final ZNCC
     score >= min_zncc_score) — the gate kills low-texture drift that fools the
     pure cycle check.
+
+    NOTE: runs under full-f32 matmul precision. On TPU the MXU default
+    (bf16-pass) quantizes ZNCC correlations and BA reprojections at the
+    ~0.5px level — measured to halve the matcher's pck@1px.
     """
+    with jax.default_matmul_precision("float32"):
+        return _compute_zncc_flow_impl(
+            images, combi_list, n_levels, patch, min_zncc_score, min_margin,
+            intr, init_poses_w2c, geom_iters,
+        )
+
+
+def _compute_zncc_flow_impl(
+    images, combi_list, n_levels, patch, min_zncc_score, min_margin,
+    intr, init_poses_w2c, geom_iters,
+):
     imgs = jnp.asarray(np.asarray(images), jnp.float32)
     B, C, H, W = imgs.shape
     if n_levels is None:
@@ -311,6 +1056,46 @@ def compute_zncc_flow_of_combi_list(
         needed.add((int(s), int(t)))  # for cycle confidence
     for t, s in sorted(needed):
         flows[(t, s)] = match(imgs[t], imgs[s])
+
+    if intr is not None:
+        intr = np.asarray(intr)
+        unordered = sorted({(min(t, s), max(t, s)) for (t, s) in needed})
+        for it in range(max(geom_iters, 0)):
+            last = it == geom_iters - 1
+            matches = None
+            if it > 0:
+                matches = _sparse_matches_for_sfm(
+                    imgs, flows, unordered, H, W
+                )
+            poses, depth_pool = _global_poses_from_flows(
+                np.asarray(images), intr, flows, unordered,
+                min_conf=0.80, matches=matches,
+            )
+            if poses is None:
+                # global SfM failed: independent per-pair estimation, seeded
+                # by the initial-pose prior when one exists
+                _pairwise_geom_round(
+                    imgs, intr, flows, unordered, init_poses_w2c,
+                    lk_for_next=not last,
+                )
+                continue
+            for t, s in unordered:
+                if depth_pool.get(t) is None or depth_pool.get(s) is None:
+                    continue
+                R_rel = poses[s, :3, :3] @ poses[t, :3, :3].T
+                t_rel = poses[s, :3, 3] - R_rel @ poses[t, :3, 3]
+                if np.linalg.norm(t_rel) < 1e-9:
+                    continue
+                c_ts, s_ts, m_ts = _geom_rematch_pair(
+                    imgs[t], imgs[s], intr[t], intr[s], R_rel, t_rel,
+                    depth_pool[t],
+                )
+                c_st, s_st, m_st = _geom_rematch_pair(
+                    imgs[s], imgs[t], intr[s], intr[t], R_rel.T,
+                    -R_rel.T @ t_rel, depth_pool[s],
+                )
+                flows[(t, s)] = (c_ts, s_ts, m_ts)
+                flows[(s, t)] = (c_st, s_st, m_st)
 
     corres_out, conf_out = [], []
     for t, s in combi_list.T:
@@ -337,10 +1122,14 @@ class FlowSelectionWrapper:
     """
 
     def __init__(self, backend: str = "zncc", ckpt_path: Optional[str] = None,
-                 num_views: int = 0, adapt_steps: int = 0):
+                 num_views: int = 0, adapt_steps: int = 0,
+                 init_poses_w2c: Optional[np.ndarray] = None):
         self.backend = backend
         self.ckpt_path = ckpt_path
         self.adapt_steps = adapt_steps
+        self.init_poses_w2c = (
+            np.asarray(init_poses_w2c) if init_poses_w2c is not None else None
+        )
         self.combi_list = get_combi_list(num_views, "all") if num_views else None
 
     def compute_flow_and_confidence_map_of_combi_list(
@@ -355,7 +1144,11 @@ class FlowSelectionWrapper:
             assert "depth_gt" in scene, "gt_depth backend needs GT depth"
             return compute_gt_flow_of_combi_list(scene, combi_list)
         if backend == "zncc":
-            return compute_zncc_flow_of_combi_list(np.asarray(scene["image"]), combi_list)
+            return compute_zncc_flow_of_combi_list(
+                np.asarray(scene["image"]), combi_list,
+                intr=np.asarray(scene["intr"]) if "intr" in scene else None,
+                init_poses_w2c=self.init_poses_w2c,
+            )
         if backend == "pdcnet_jax":
             from sparf_tpu.models import pdcnet_jax
 

@@ -40,7 +40,8 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
-def build_correspondence_pools(cfg, scene_np, logger=None) -> Dict[str, np.ndarray]:
+def build_correspondence_pools(cfg, scene_np, logger=None,
+                               init_poses_w2c=None) -> Dict[str, np.ndarray]:
     """Run the matcher over the pair list and build fixed-size pixel pools.
 
     Returns dict with pool_pix_self/other (n,Pmax,2), pool_conf (n,Pmax),
@@ -65,6 +66,7 @@ def build_correspondence_pools(cfg, scene_np, logger=None) -> Dict[str, np.ndarr
     wrapper = flow_mod.FlowSelectionWrapper(
         backend=backend, ckpt_path=cfg.get("flow_ckpt_path"),
         adapt_steps=int(cfg.get("pdcnet_adapt_steps", 0) or 0),
+        init_poses_w2c=init_poses_w2c,
     )
     corres_maps, conf_maps = wrapper.compute_flow_and_confidence_map_of_combi_list(
         scene_np, combi_list
@@ -215,7 +217,10 @@ def compute_render_and_repro_loss_w_repro_thres(
 def make_corres_loss_builder(trainer):
     """Returns make(fine_enabled) -> LossBuilder. Precomputes pools now."""
     cfg = trainer.cfg
-    pools_np = build_correspondence_pools(cfg, trainer.train_scene_np, trainer.logger)
+    pools_np = build_correspondence_pools(
+        cfg, trainer.train_scene_np, trainer.logger,
+        init_poses_w2c=getattr(trainer, "initial_poses_w2c", None),
+    )
     trainer.corres_pools = pools_np  # exposed for tests/flow metrics
     flow_stats = compute_flow_metrics(pools_np, trainer.train_scene_np)
     if flow_stats:

@@ -86,6 +86,29 @@ def test_zncc_matcher_on_affine_warp():
     assert np.median(err) < 0.5, f"median epe {np.median(err):.2f}"
 
 
+def test_geometric_matcher_on_dtu_like_rig():
+    """Full geometry-guided matcher (stage-1 pyramid -> mini-SfM -> iterated
+    plane-sweep rematch) on a realistic-baseline rig (0.35 rad ring span,
+    DTU-like): confident matches must be in the ~1px regime that drives
+    SPARF's pose accuracy (reference bar: PDC-Net p_r pipeline,
+    flow_net.py:458-470)."""
+    sc = load_synthetic_scene(
+        split="train", H=64, W=80, n_train=3, n_test=1, angular_span=0.35
+    )
+    combi = np.array([[0, 0, 1], [1, 2, 2]], np.int32)
+    corres, conf = flow_net.compute_zncc_flow_of_combi_list(
+        sc["image"], combi, intr=sc["intr"]
+    )
+    gt_corres, gt_conf = flow_net.compute_gt_flow_of_combi_list(sc, combi)
+    medians = []
+    for p in range(combi.shape[1]):
+        m = (conf[p, 0] > 0.95) & (gt_conf[p, 0] > 0.5)
+        assert m.sum() > 80, f"pair {combi[:, p]}: only {m.sum()} confident px"
+        err = np.linalg.norm(corres[p] - gt_corres[p], axis=0)[m]
+        medians.append(np.median(err))
+    assert np.median(medians) < 1.5, f"median EPE per pair: {medians}"
+
+
 def test_zncc_matcher_on_synthetic_views():
     """ZNCC matcher vs GT correspondences on two synthetic views.
 
