@@ -61,12 +61,119 @@ def build_trainer(tiny: bool):
     return PoseAndNerfTrainerPerScene(cfg, workspace=ws)
 
 
+def run_mesh_audit(n: int) -> None:
+    """--mesh N: SPMD audit on an N-device virtual CPU mesh.
+
+    Verifies (1) the per-device ray shard shapes in the compiled step,
+    (2) the cross-device collectives XLA inserted, and (3) numerical
+    equivalence of the sharded step vs the unsharded one (same seed).
+    Prints ONE JSON line. Runs itself in a child process with the CPU
+    platform + device count forced (the session env pins one real TPU)."""
+    import os
+    import subprocess
+
+    if os.environ.get("_SPARF_BENCH_MESH_CHILD") != "1":
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            flags = (flags + f" --xla_force_host_platform_device_count={n}").strip()
+        env["XLA_FLAGS"] = flags
+        env["_SPARF_BENCH_MESH_CHILD"] = "1"
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mesh", str(n)], env=env
+        ).returncode
+        sys.exit(rc)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.device_count() >= n, f"{jax.device_count()} devices, need {n}"
+
+    from sparf_tpu.configs.config import ConfigDict, override_options
+    from sparf_tpu.parallel import mesh as mesh_mod
+
+    def one_trainer(mesh_n):
+        import tempfile
+
+        from sparf_tpu.configs.presets import PRESETS
+        from sparf_tpu.training.joint_trainer import PoseAndNerfTrainerPerScene
+
+        cfg = PRESETS["joint_pose_nerf_training/synthetic/sparf"]()
+        cfg = override_options(cfg, ConfigDict(
+            env=ConfigDict(), scene="spheres", max_iter=1000,
+            synthetic=dict(H=24, W=32, n_train=3, n_test=1),
+            arch=dict(layers_feat=[None, 64, 64, 64, 64],
+                      layers_rgb=[None, 32, 3], skip=[2]),
+            nerf=ConfigDict(sample_intvs=32, sample_intvs_fine=16,
+                            rand_rays=16 * n),
+            depth_cons_nbr_rays=16 * n,
+            min_nbr_matches=50, use_gt_correspondences=True,
+            tpu=ConfigDict(mesh_shape=[mesh_n] if mesh_n else None,
+                           donate_state=False),
+        ))
+        mesh_mod.set_active_mesh(None)
+        return PoseAndNerfTrainerPerScene(cfg, workspace=tempfile.mkdtemp())
+
+    # sharded trainer: compile the joint-stage step, audit HLO
+    tr = one_trainer(n)
+    step = tr.get_step(0)
+    lowered = jax.jit(lambda s: step(s)).lower(tr.state)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    coll = {
+        "all_reduce": hlo.count("all-reduce("),
+        "all_gather": hlo.count("all-gather("),
+        "reduce_scatter": hlo.count("reduce-scatter("),
+        "collective_permute": hlo.count("collective-permute("),
+    }
+    rays = int(tr.cfg.nerf.rand_rays)
+    shard = rays // n
+    # per-device ray shard: the photometric ray batch f32[rand_rays/n, ...]
+    shard_ok = f"f32[{shard}," in hlo or f"f32[1,{shard}," in hlo
+    state1, stats1 = step(tr.state)
+    loss_sharded = float(np.asarray(stats1["all"]))
+
+    # unsharded reference, same seed/config
+    tr0 = one_trainer(None)
+    step0 = tr0.get_step(0)
+    _, stats0 = step0(tr0.state)
+    loss_ref = float(np.asarray(stats0["all"]))
+    diff = abs(loss_sharded - loss_ref)
+
+    result = {
+        "metric": "sparf_mesh_audit",
+        "value": n,
+        "unit": "devices",
+        "vs_baseline": 1.0 if (shard_ok and diff < 1e-4 and
+                               sum(coll.values()) > 0) else 0.0,
+        "detail": {
+            "collectives_per_step": coll,
+            "rays_per_device": shard,
+            "shard_shape_found": bool(shard_ok),
+            "loss_sharded": loss_sharded,
+            "loss_unsharded": loss_ref,
+            "abs_diff": diff,
+            "devices": jax.device_count(),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="small shapes (CPU sanity)")
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="SPMD audit on an N-device virtual CPU mesh")
     args = parser.parse_args()
+
+    if args.mesh:
+        run_mesh_audit(args.mesh)
+        return
 
     import jax
     import jax.numpy as jnp

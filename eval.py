@@ -32,7 +32,8 @@ def load_model(ckpt_dir: str, data_root: str = "", which: str = "latest", debug:
     return trainer, cfg
 
 
-def run_eval(trainer, cfg, out_dir: str, expname: str):
+def run_eval(trainer, cfg, out_dir: str, expname: str, plot: bool = False,
+             save_ind_files: bool = False):
     os.makedirs(out_dir, exist_ok=True)
     results = {}
     model = cfg.get("model")
@@ -41,9 +42,11 @@ def run_eval(trainer, cfg, out_dir: str, expname: str):
     for test_optim in with_wo:
         tag = "w_test_optim" if test_optim else "without_test_optim"
         if hasattr(trainer, "_test_optim_enabled"):
-            res = trainer.evaluate_full(out_dir=out_dir, with_test_optim=test_optim)
+            res = trainer.evaluate_full(out_dir=out_dir, with_test_optim=test_optim,
+                                        plot=plot, save_ind_files=save_ind_files)
         else:
-            res = trainer.evaluate_full(out_dir=out_dir)
+            res = trainer.evaluate_full(out_dir=out_dir, plot=plot,
+                                        save_ind_files=save_ind_files)
         results[tag] = res["mean"]
     results["iteration"] = trainer.iteration
     path = os.path.join(out_dir, f"{expname}.json")
@@ -62,6 +65,10 @@ def main():
     parser.add_argument("--which", default="latest",
                         help="latest | best | iter-N | both (latest + best, "
                              "like the reference's eval_after_training x2)")
+    parser.add_argument("--plot", action="store_true",
+                        help="save qualitative panels per test image")
+    parser.add_argument("--save_ind_files", action="store_true",
+                        help="save individual pred/depth renders per test image")
     args = parser.parse_args()
     which_list = ["latest", "best"] if args.which == "both" else [args.which]
     for which in which_list:
@@ -71,7 +78,8 @@ def main():
             print(f"skipping {which}: {e}")
             continue
         suffix = "" if len(which_list) == 1 else f"_{which.replace('-', '')}"
-        run_eval(trainer, cfg, args.out_dir, args.expname + suffix)
+        run_eval(trainer, cfg, args.out_dir, args.expname + suffix,
+                 plot=args.plot, save_ind_files=args.save_ind_files)
 
 
 if __name__ == "__main__":

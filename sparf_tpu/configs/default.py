@@ -29,6 +29,8 @@ def get_base_config() -> ConfigDict:
     cfg.nerf_gradient_clipping = 0.1
     cfg.pose_gradient_clipping = None
     cfg.skip_large_gradients = None  # skip steps whose grad norm exceeds this
+    cfg.print_gradients = False  # log max-abs + total grad norm every step
+    # (reference iter_based_trainer.py:152-163)
     cfg.arch = ConfigDict()
 
     # loss module

@@ -703,6 +703,9 @@ def _geom_rematch_pair(
     parallax_per_invd = f * float(np.linalg.norm(t)) + 1e-12
     max_parallax = parallax_per_invd * (inv_hi - inv_lo)
     D = int(np.clip(np.ceil(max_parallax / coarse_step_px), 16, max_hyp))
+    # bucket D to multiples of 32: the sweep is jitted per shape, and a fresh
+    # XLA compile per (pair, iteration) dominates wall-clock on remote TPUs
+    D = int(min(-(-D // 32) * 32, max_hyp))
     inv_depths = jnp.linspace(inv_lo, inv_hi, D)
 
     A = jnp.asarray(K_s @ R @ np.linalg.inv(K_t), jnp.float32)
@@ -736,12 +739,41 @@ def _geom_rematch_pair(
         num_y / jnp.where(jnp.abs(den_y) < 1e-9, 1e-9, den_y),
     )
     inv_d0 = jnp.clip(inv_d0, inv_lo, inv_hi)
-    n_off = int(np.ceil(coarse_step_inv / fine_step_inv)) + 2
+    # fixed offset count: stable shapes -> one compiled refinement kernel
     corres, score = _local_depth_sweep(
-        img_t, img_s, A, B, inv_d0, float(fine_step_inv), n_offsets=min(n_off, 16),
+        img_t, img_s, A, B, inv_d0, float(fine_step_inv), n_offsets=16,
         radius=1,
     )
     return corres, score, margin
+
+
+def cc_maps_from_corres(corres_maps: np.ndarray, combi_list: np.ndarray) -> np.ndarray:
+    """(P,1,H,W) cyclic-consistency confidence 1/(1+err) from a set of dense
+    maps that contains both directions of each pair; ones when the reverse
+    direction is absent."""
+    idx_of = {(int(t), int(s)): p for p, (t, s) in enumerate(combi_list.T)}
+    out = np.ones((corres_maps.shape[0], 1) + corres_maps.shape[-2:], np.float32)
+    for p, (t, s) in enumerate(combi_list.T):
+        q = idx_of.get((int(s), int(t)))
+        if q is None:
+            continue
+        err = _cycle_error(
+            jnp.asarray(corres_maps[p].transpose(1, 2, 0)),
+            jnp.asarray(corres_maps[q].transpose(1, 2, 0)),
+        )
+        out[p, 0] = np.asarray(1.0 / (1.0 + err))
+    return out
+
+
+def _cycle_error(corres_ts: Array, corres_st: Array) -> Array:
+    """Forward-backward cycle error in px (H,W)."""
+    H, W, _ = corres_ts.shape
+    Hs, Ws, _ = corres_st.shape
+    sx = jnp.clip(jnp.round(corres_ts[..., 0]), 0, Ws - 1).astype(jnp.int32)
+    sy = jnp.clip(jnp.round(corres_ts[..., 1]), 0, Hs - 1).astype(jnp.int32)
+    back = corres_st[sy, sx]  # (H,W,2) position back in target
+    xx, yy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32))
+    return jnp.linalg.norm(back - jnp.stack([xx, yy], -1), axis=-1)
 
 
 def _cycle_confidence(corres_ts: Array, corres_st: Array, sigma: float = 1.0) -> Array:
@@ -751,13 +783,7 @@ def _cycle_confidence(corres_ts: Array, corres_st: Array, sigma: float = 1.0) ->
     (flow_net.py:273-281: 1/(1+err)); a gaussian calibration keeps
     conf>=0.95 ~ err<=0.32 px, matching the role of PDC-Net's p_r>=0.95.
     """
-    H, W, _ = corres_ts.shape
-    Hs, Ws, _ = corres_st.shape
-    sx = jnp.clip(jnp.round(corres_ts[..., 0]), 0, Ws - 1).astype(jnp.int32)
-    sy = jnp.clip(jnp.round(corres_ts[..., 1]), 0, Hs - 1).astype(jnp.int32)
-    back = corres_st[sy, sx]  # (H,W,2) position back in target
-    xx, yy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32))
-    err = jnp.linalg.norm(back - jnp.stack([xx, yy], -1), axis=-1)
+    err = _cycle_error(corres_ts, corres_st)
     return jnp.exp(-(err**2) / (2 * sigma**2))
 
 
@@ -1006,7 +1032,8 @@ def compute_zncc_flow_of_combi_list(
     intr: Optional[np.ndarray] = None,
     init_poses_w2c: Optional[np.ndarray] = None,
     geom_iters: int = 3,
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_cc: bool = False,
+):
     """Dense matching for every pair; returns (P,2,H,W) corres + (P,1,H,W) conf.
 
     Stage 1: hierarchical ZNCC + LK (appearance only).
@@ -1033,13 +1060,13 @@ def compute_zncc_flow_of_combi_list(
     with jax.default_matmul_precision("float32"):
         return _compute_zncc_flow_impl(
             images, combi_list, n_levels, patch, min_zncc_score, min_margin,
-            intr, init_poses_w2c, geom_iters,
+            intr, init_poses_w2c, geom_iters, return_cc,
         )
 
 
 def _compute_zncc_flow_impl(
     images, combi_list, n_levels, patch, min_zncc_score, min_margin,
-    intr, init_poses_w2c, geom_iters,
+    intr, init_poses_w2c, geom_iters, return_cc=False,
 ):
     imgs = jnp.asarray(np.asarray(images), jnp.float32)
     B, C, H, W = imgs.shape
@@ -1097,7 +1124,7 @@ def _compute_zncc_flow_impl(
                 flows[(t, s)] = (c_ts, s_ts, m_ts)
                 flows[(s, t)] = (c_st, s_st, m_st)
 
-    corres_out, conf_out = [], []
+    corres_out, conf_out, cc_out = [], [], []
     for t, s in combi_list.T:
         t, s = int(t), int(s)
         corres_ts, score_ts, margin_ts = flows[(t, s)]
@@ -1106,7 +1133,16 @@ def _compute_zncc_flow_impl(
         conf = conf * (score_ts >= min_zncc_score) * (margin_ts >= min_margin)
         corres_out.append(np.asarray(corres_ts).transpose(2, 0, 1))
         conf_out.append(np.asarray(conf)[None])
-    return np.stack(corres_out).astype(np.float32), np.stack(conf_out).astype(np.float32)
+        if return_cc:
+            # the reference's separate cyclic-consistency confidence,
+            # 1/(1+err) (flow_net.py:273-281), for filter_corr_w_cc
+            cc = 1.0 / (1.0 + _cycle_error(corres_ts, corres_st))
+            cc_out.append(np.asarray(cc)[None])
+    corres_np = np.stack(corres_out).astype(np.float32)
+    conf_np = np.stack(conf_out).astype(np.float32)
+    if return_cc:
+        return corres_np, conf_np, np.stack(cc_out).astype(np.float32)
+    return corres_np, conf_np
 
 
 # ---------------------------------------------------------------------------
@@ -1132,28 +1168,56 @@ class FlowSelectionWrapper:
         )
         self.combi_list = get_combi_list(num_views, "all") if num_views else None
 
-    def compute_flow_and_confidence_map_of_combi_list(
-        self, scene: Dict[str, np.ndarray], combi_list: np.ndarray
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def _resolve_backend(self) -> str:
         backend = self.backend
         if backend == "PDCNet":
             # the reference's torch PDC-Net; map to the JAX implementation when
             # converted weights exist, else the classical matcher
             backend = "pdcnet_jax" if self.ckpt_path else "zncc"
+        return backend
+
+    def compute_flow_and_confidence_map_of_combi_list(
+        self, scene: Dict[str, np.ndarray], combi_list: np.ndarray,
+        return_cc: bool = False,
+    ):
+        backend = self._resolve_backend()
         if backend == "gt_depth":
             assert "depth_gt" in scene, "gt_depth backend needs GT depth"
-            return compute_gt_flow_of_combi_list(scene, combi_list)
+            corres, conf = compute_gt_flow_of_combi_list(scene, combi_list)
+            return (corres, conf, np.ones_like(conf)) if return_cc else (corres, conf)
         if backend == "zncc":
             return compute_zncc_flow_of_combi_list(
                 np.asarray(scene["image"]), combi_list,
                 intr=np.asarray(scene["intr"]) if "intr" in scene else None,
                 init_poses_w2c=self.init_poses_w2c,
+                return_cc=return_cc,
+            )
+        if backend == "SPSG":
+            from sparf_tpu.models import sparse_matcher
+
+            return sparse_matcher.compute_spsg_flow_of_combi_list(
+                np.asarray(scene["image"]), combi_list, return_cc=return_cc,
             )
         if backend == "pdcnet_jax":
             from sparf_tpu.models import pdcnet_jax
 
-            return pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+            out = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
                 np.asarray(scene["image"]), combi_list,
                 weights_path=self.ckpt_path, adapt_steps=self.adapt_steps,
             )
+            if return_cc:
+                corres, conf = out
+                cc = cc_maps_from_corres(corres, combi_list)
+                return corres, conf, cc
+            return out
         raise ValueError(backend)
+
+    def compute_flow_and_confidence_map_and_cc_of_combi_list(
+        self, scene: Dict[str, np.ndarray], combi_list: np.ndarray
+    ):
+        """Reference compute_flow_and_confidence_map_and_cc_of_combi_list
+        (base_corres_loss.py:104-117 consumer): also returns a SEPARATE
+        cyclic-consistency confidence map."""
+        return self.compute_flow_and_confidence_map_of_combi_list(
+            scene, combi_list, return_cc=True
+        )

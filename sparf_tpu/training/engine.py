@@ -245,6 +245,15 @@ def make_train_step(
         stats["grad_norm_nerf"] = optax.global_norm(g_nerf)
         if optimize_poses:
             stats["grad_norm_pose"] = optax.global_norm(g_pose)
+        if cfg.get("print_gradients"):
+            # reference print_gradients: max-abs + total norm every step
+            # (iter_based_trainer.py:152-163); lands in the logged stats line
+            leaves = jax.tree_util.tree_leaves(g_nerf)
+            if optimize_poses:
+                leaves = leaves + jax.tree_util.tree_leaves(g_pose)
+            stats["grad_max"] = jnp.max(
+                jnp.stack([jnp.max(jnp.abs(l)) for l in leaves])
+            )
 
         new_state = state.replace(
             nerf_params=new_nerf,

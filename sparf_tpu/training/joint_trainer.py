@@ -257,11 +257,11 @@ class PoseAndNerfTrainerPerScene(NerfTrainerPerScene):
         )
 
     def evaluate_full(self, save_ind_files: bool = False, out_dir: Optional[str] = None,
-                      with_test_optim: Optional[bool] = None) -> Dict:
+                      with_test_optim: Optional[bool] = None, plot: bool = False) -> Dict:
         """Adds pose metrics to the eval bundle (joint :636-662)."""
         if with_test_optim is not None:
             self._test_optim_enabled = with_test_optim
-        result = super().evaluate_full(save_ind_files, out_dir)
+        result = super().evaluate_full(save_ind_files, out_dir, plot=plot)
         pose_stats = self.evaluate_poses()
         result["mean"].update({"rot_error": pose_stats["error_R"],
                                "trans_error": pose_stats["error_t"]})

@@ -68,14 +68,26 @@ def build_correspondence_pools(cfg, scene_np, logger=None,
         adapt_steps=int(cfg.get("pdcnet_adapt_steps", 0) or 0),
         init_poses_w2c=init_poses_w2c,
     )
-    corres_maps, conf_maps = wrapper.compute_flow_and_confidence_map_of_combi_list(
-        scene_np, combi_list
-    )
+    cc_maps = None
+    if cfg.get("filter_corr_w_cc"):
+        # reference base_corres_loss.py:104-117: a SEPARATE cyclic-consistency
+        # confidence additionally gates the valid-match mask
+        corres_maps, conf_maps, cc_maps = (
+            wrapper.compute_flow_and_confidence_map_and_cc_of_combi_list(
+                scene_np, combi_list
+            )
+        )
+    else:
+        corres_maps, conf_maps = wrapper.compute_flow_and_confidence_map_of_combi_list(
+            scene_np, combi_list
+        )
     if cfg.get("use_gt_correspondences") and cfg.get("use_dummy_all_one_confidence"):
         conf_maps = np.ones_like(conf_maps)
 
     min_conf = 1.0 if backend == "gt_depth" else float(cfg.get("min_conf_valid_corr", 0.95))
     mask_valid = flow_mod.get_mask_valid_from_conf_map(conf_maps, corres_maps, min_conf)
+    if cc_maps is not None:
+        mask_valid &= cc_maps >= float(cfg.get("min_conf_cc_valid_corr", 1 / 2.5))
 
     # geometric verification (no reference counterpart; default-on for the
     # built-in matcher): epipolar RANSAC per pair kills drift that survives

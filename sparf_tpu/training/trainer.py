@@ -288,16 +288,29 @@ class NerfTrainerPerScene:
             fine_enabled=self.fine_enabled_at(iteration),
             chunk=self.cfg.nerf.rand_rays, impl=self.mlp_impl,
         )
-        key = "rgb_fine" if "rgb_fine" in out else "rgb"
-        dkey = "depth_fine" if "depth_fine" in out else "depth"
-        okey = "opacity_fine" if "opacity_fine" in out else "opacity"
+        fine_row = None
+        if "rgb_fine" in out:
+            fine_row = dict(
+                pred_rgb=np.asarray(out["rgb_fine"]).reshape(H, W, 3),
+                pred_depth=np.asarray(out["depth_fine"]).reshape(H, W),
+                opacity=np.asarray(out["opacity_fine"]).reshape(H, W),
+                rgb_var=np.asarray(out["rgb_var_fine"]).reshape(H, W, -1).mean(-1)
+                if "rgb_var_fine" in out else None,
+                depth_var=np.asarray(out["depth_var_fine"]).reshape(H, W)
+                if "depth_var_fine" in out else None,
+            )
         panel = vis.render_panel(
             gt_rgb=self.train_scene_np["image"][idx].transpose(1, 2, 0),
-            pred_rgb=np.asarray(out[key]).reshape(H, W, 3),
-            pred_depth=np.asarray(out[dkey]).reshape(H, W),
-            opacity=np.asarray(out[okey]).reshape(H, W),
+            pred_rgb=np.asarray(out["rgb"]).reshape(H, W, 3),
+            pred_depth=np.asarray(out["depth"]).reshape(H, W),
+            opacity=np.asarray(out["opacity"]).reshape(H, W),
+            rgb_var=np.asarray(out["rgb_var"]).reshape(H, W, -1).mean(-1)
+            if "rgb_var" in out else None,
+            depth_var=np.asarray(out["depth_var"]).reshape(H, W)
+            if "depth_var" in out else None,
             gt_depth=self.train_scene_np.get("depth_gt", [None] * (idx + 1))[idx]
             if "depth_gt" in self.train_scene_np else None,
+            fine_row=fine_row,
         )
         self.writer.write_image("train", {f"render_view{idx}": panel}, iteration)
         if hasattr(self, "pose_cfg"):
@@ -341,29 +354,47 @@ class NerfTrainerPerScene:
         return self._lpips
 
     def validate(self, iteration: int, max_views: Optional[int] = None) -> Dict[str, float]:
-        """Full-image renders over the val split; track best model by -PSNR
-        (base.py:450-504)."""
+        """Full-image renders over the val split with the full metric set
+        (PSNR/SSIM/LPIPS + masked + depth, coarse and _fine) and best-model
+        tracking by -PSNR of the finest head (base.py:450-504)."""
         H, W = self.val_scene_np["image"].shape[-2:]
         n = self.val_scene_np["image"].shape[0]
         if self.debug:
             max_views = min(n, 2)
         n = min(n, max_views) if max_views else n
         fine_enabled = self.fine_enabled_at(iteration)
+        lpips = self.get_lpips()
         results = []
         for idx in range(n):
             out = self.render_full_val_image(idx, fine_enabled)
-            key = "rgb_fine" if "rgb_fine" in out else "rgb"
-            pred = out[key].reshape(1, H, W, 3).transpose(0, 3, 1, 2)
             gt = self.val_scene["image"][idx : idx + 1]
-            res = {
-                "psnr": float(metrics_mod.psnr(pred, gt)),
-                "ssim": float(metrics_mod.ssim(pred, gt)),
-            }
+            fg_mask = (self.val_scene["fg_mask"][idx : idx + 1]
+                       if "fg_mask" in self.val_scene else None)
+            depth_gt = (self.val_scene["depth_gt"][idx : idx + 1].reshape(1, -1, 1)
+                        if "depth_gt" in self.val_scene else None)
+            valid_depth = (self.val_scene["valid_depth_gt"][idx : idx + 1].reshape(1, -1)
+                           if "valid_depth_gt" in self.val_scene else None)
+
+            def metrics_of(key, dkey, suffix):
+                pred = out[key].reshape(1, H, W, 3).transpose(0, 3, 1, 2)
+                return metrics_mod.compute_metrics(
+                    pred, gt, pred_depth=out[dkey].reshape(1, -1, 1),
+                    depth_gt=depth_gt, valid_depth_gt=valid_depth,
+                    fg_mask=fg_mask, lpips_fn=lpips, suffix=suffix,
+                )
+
+            res = metrics_of("rgb", "depth", "")
+            if "rgb_fine" in out:
+                res.update(metrics_of("rgb_fine", "depth_fine", "_fine"))
             results.append(res)
-        mean = {k: float(np.mean([r[k] for r in results])) for k in results[0]} if results else {}
+        mean = {
+            k: float(np.mean([r[k] for r in results]))
+            for k in results[0]
+            if not np.isnan(np.mean([r[k] for r in results]))
+        } if results else {}
         self.writer.write_event("val", mean, iteration)
         self.logger.info(f"validation @ {iteration}: " + " ".join(f"{k}={v:.3f}" for k, v in mean.items()))
-        val_score = -mean.get("psnr", 0.0)
+        val_score = -mean.get("psnr_fine", mean.get("psnr", 0.0))
         if val_score < self.best_val:
             self.best_val = val_score
             self.epoch_of_best_val = iteration
@@ -372,9 +403,11 @@ class NerfTrainerPerScene:
 
     # ------------------------------------------------------------ evaluation
 
-    def evaluate_full(self, save_ind_files: bool = False, out_dir: Optional[str] = None) -> Dict:
+    def evaluate_full(self, save_ind_files: bool = False, out_dir: Optional[str] = None,
+                      plot: bool = False) -> Dict:
         """Test-set evaluation incl. depth metrics and masked metrics; JSON dump
-        (nerf_trainer.py:342-485)."""
+        (nerf_trainer.py:342-485). `plot` saves a qualitative panel per test
+        image (reference eval.py --plot / base.py plotting path)."""
         cfg = self.cfg
         test_scene_np = create_dataset(cfg, "test")
         test_scene = scene_to_device(test_scene_np)
@@ -412,6 +445,25 @@ class NerfTrainerPerScene:
                 scaling_factor_for_pred_depth=depth_scale,
             )
             per_image.append(res)
+            if plot:
+                import imageio.v2 as imageio
+
+                from sparf_tpu.utils import vis
+
+                pdir = os.path.join(out_dir or self.workspace, "plots")
+                os.makedirs(pdir, exist_ok=True)
+                panel = vis.render_panel(
+                    gt_rgb=np.asarray(gt_rgb[0]).transpose(1, 2, 0),
+                    pred_rgb=np.asarray(pred_rgb[0]).transpose(1, 2, 0),
+                    pred_depth=np.asarray(out[dkey]).reshape(H, W),
+                    opacity=np.asarray(
+                        out["opacity_fine" if "opacity_fine" in out else "opacity"]
+                    ).reshape(H, W),
+                    gt_depth=np.asarray(test_scene_np["depth_gt"][idx])
+                    if "depth_gt" in test_scene_np else None,
+                )
+                imageio.imwrite(os.path.join(pdir, f"eval_{idx:03d}.png"),
+                                (np.clip(panel, 0, 1) * 255).astype(np.uint8))
             if save_ind_files:
                 # per-image renders (reference save_ind_files, base.py:506-597)
                 import imageio.v2 as imageio

@@ -62,21 +62,41 @@ def render_panel(
     opacity: Optional[np.ndarray] = None,
     depth_var: Optional[np.ndarray] = None,
     gt_depth: Optional[np.ndarray] = None,
+    rgb_var: Optional[np.ndarray] = None,
+    fine_row: Optional[dict] = None,
 ) -> np.ndarray:
-    """GT/render/depth/opacity/variance/error panel (reference base.py:600-726)."""
-    imgs = [gt_rgb, pred_rgb, error_map(pred_rgb, gt_rgb)]
+    """Full septych (reference base.py:600-726): GT / render / error /
+    [GT depth] / depth / opacity / [rgb_var] / [depth_var], with an optional
+    second row for the fine head (the coarse-vs-fine debugging surface).
+
+    `fine_row`: dict with pred_rgb, pred_depth and optionally opacity,
+    depth_var, rgb_var of the fine samples."""
     vmin, vmax = None, None
     if gt_depth is not None:
         m = gt_depth > 0
         if m.any():
             vmin, vmax = float(gt_depth[m].min()), float(gt_depth[m].max())
-        imgs.append(colorize(gt_depth, vmin, vmax, invalid_mask=~m))
-    imgs.append(colorize(pred_depth, vmin, vmax))
-    if opacity is not None:
-        imgs.append(colorize(opacity, 0.0, 1.0, cmap="gray"))
-    if depth_var is not None:
-        imgs.append(colorize(depth_var, 0.0))
-    return make_image_grid(imgs)
+
+    def row(pred_rgb, pred_depth, opacity=None, depth_var=None, rgb_var=None):
+        imgs = [gt_rgb, pred_rgb, error_map(pred_rgb, gt_rgb)]
+        if gt_depth is not None:
+            imgs.append(colorize(gt_depth, vmin, vmax, invalid_mask=~(gt_depth > 0)))
+        imgs.append(colorize(pred_depth, vmin, vmax))
+        if opacity is not None:
+            imgs.append(colorize(opacity, 0.0, 1.0, cmap="gray"))
+        if rgb_var is not None:
+            imgs.append(colorize(rgb_var, 0.0))
+        if depth_var is not None:
+            imgs.append(colorize(depth_var, 0.0))
+        return imgs
+
+    imgs = row(pred_rgb, pred_depth, opacity, depth_var, rgb_var)
+    ncol = len(imgs)
+    if fine_row is not None:
+        extra = row(**fine_row)
+        extra += [np.zeros_like(imgs[0])] * (ncol - len(extra))
+        imgs += extra
+    return make_image_grid(imgs, ncol=ncol)
 
 
 def plot_camera_frusta(
