@@ -60,11 +60,17 @@ def matches_from_dense_flow(
 
     images = scene["image"]
     n, _, H, W = images.shape
-    kps = grid_keypoints(H, W, stride)
     combi = flow_net.generate_pair_list(n)  # unordered pairs (i<j)
     backend = cfg.get("flow_backbone", "zncc")
     if cfg.get("use_gt_correspondences") and "depth_gt" in scene:
         backend = "gt_depth"
+    if backend == "SPSG":
+        # sparse maps are zero except at detected keypoints (reference
+        # compute_triangulation_sp_sg, triangulation_w_known_poses.py:42-103
+        # consumes the keypoints directly) — a strided grid would miss
+        # off-grid keypoints, so sample every pixel
+        stride = 1
+    kps = grid_keypoints(H, W, stride)
     wrapper = flow_net.FlowSelectionWrapper(backend=backend)
     corres, conf = wrapper.compute_flow_and_confidence_map_of_combi_list(scene, combi)
 

@@ -66,6 +66,11 @@ def get_base_config() -> ConfigDict:
     # Auto-disabled off-TPU.
     cfg.tpu.use_pallas = True
     cfg.tpu.donate_state = True
+    # batch every loss module's ray bundles of a step into ONE MLP call per
+    # hierarchy level (renderer.render_bundles) — fills the MXU instead of
+    # issuing up to six small per-loss renders. Numerically equivalent; auto
+    # falls back to per-bundle rendering under density_noise_reg.
+    cfg.tpu.merged_render = True
     return cfg
 
 

@@ -377,3 +377,182 @@ def init_graph_params(key: Array, cfg: RenderConfig) -> Dict[str, Any]:
     if cfg.fine_sampling:
         params["fine"] = nerf_mlp.init_nerf_params(k2, cfg.fine_mlp)
     return params
+
+
+# ---------------------------------------------------------------------------
+# batched multi-loss rendering (TPU-native; no reference counterpart)
+# ---------------------------------------------------------------------------
+#
+# One SPARF training step renders up to six independent ray batches (the
+# photometric rays, both directions of the correspondence loss, and the three
+# depth-consistency renders). The reference issues these as separate CUDA
+# model invocations (e.g. base_corres_loss.py:214-258 two get_pose+render
+# calls per iteration); on TPU each separate invocation is a small matmul
+# chain that under-fills the MXU and pays its own scheduling latency.
+#
+# `render_bundles` instead evaluates ALL bundles of a round with one MLP call
+# per hierarchy level (and per gradient group): sample points per bundle,
+# flatten every bundle to a point list, concatenate, run the (Pallas or XLA)
+# MLP once, split, and composite per bundle. The MLP is pointwise over
+# samples, so the merged outputs are numerically identical to per-bundle
+# rendering — each bundle keeps its own PRNG keys and depth-sampling scheme.
+
+
+@dataclass
+class RayBundle:
+    """One render request inside a jitted train step.
+
+    kind='pixels' reproduces render_at_pixels(stratified=...) semantics;
+    kind='tomax' reproduces render_to_max (per-ray max depth, deterministic
+    samples). `no_grad` renders through stop_gradient(params) — the
+    visibility pass of the depth-consistency loss.
+    """
+
+    pixels: Array                      # (N,2) or (B,N,2)
+    pose_w2c: Array                    # (B,3,4)
+    intr: Array                        # (B,3,3)
+    key: Optional[Array] = None
+    stratified: bool = True
+    kind: str = "pixels"
+    depth_min: Optional[Array] = None  # tomax: scalar near plane
+    depth_max: Optional[Array] = None  # tomax: (B,N)
+    no_grad: bool = False
+
+
+def _bundle_geometry(cfg: RenderConfig, b: RayBundle):
+    center, ray = camera.get_center_and_ray_at_pixels(b.pose_w2c, b.pixels, b.intr)
+    if cfg.ndc:
+        center, ray = camera.convert_NDC(center, ray, intr=b.intr)
+    return center, ray
+
+
+def _coarse_depths(cfg: RenderConfig, b: RayBundle, center, k_depth, depth_range):
+    B, R = center.shape[0], center.shape[1]
+    if b.kind == "tomax":
+        return sample_depth_diff_max_range_per_ray(
+            B, R, cfg.sample_intvs, b.depth_min, b.depth_max
+        )
+    return sample_depth(
+        k_depth, B, R, cfg.sample_intvs, depth_range, cfg.depth_param,
+        stratified=cfg.sample_stratified and b.stratified,
+    )
+
+
+def _merged_mlp_level(params_level, mlp_cfg, geoms, depths, no_grads, progress, impl):
+    """ONE MLP call over the concatenation of every bundle's sample points,
+    per gradient group; returns the per-bundle composite input dicts."""
+    from sparf_tpu.parallel import mesh as mesh_mod
+
+    fwd = _FORWARD_IMPL[impl]
+    preds = [None] * len(geoms)
+    for wants_grad in (True, False):
+        idxs = [i for i, ng in enumerate(no_grads) if (not ng) == wants_grad]
+        if not idxs:
+            continue
+        pts_list, dirs_list, sizes = [], [], []
+        for i in idxs:
+            center, ray = geoms[i]
+            d = depths[i]                                   # (B,R,S,1)
+            B, R, S = d.shape[:3]
+            pts = camera.get_3d_points_from_depth(center, ray, d, multi_samples=True)
+            pts_list.append(pts.reshape(1, B * R * S, 1, 3))
+            dirs = jnp.broadcast_to(ray[..., None, :], (B, R, S, 3))
+            dirs_list.append(dirs.reshape(1, B * R * S, 3))
+            sizes.append(B * R * S)
+        pts_cat = mesh_mod.shard_rays(jnp.concatenate(pts_list, axis=1), axis=1)
+        dirs_cat = mesh_mod.shard_rays(jnp.concatenate(dirs_list, axis=1), axis=1)
+        p = params_level if wants_grad else jax.lax.stop_gradient(params_level)
+        out = fwd(p, mlp_cfg, pts_cat, dirs_cat, progress, None)
+        ofs = 0
+        for i, sz in zip(idxs, sizes):
+            B, R, S = depths[i].shape[:3]
+            preds[i] = dict(
+                rgb_samples=out["rgb_samples"][0, ofs : ofs + sz].reshape(B, R, S, 3),
+                density_samples=out["density_samples"][0, ofs : ofs + sz].reshape(B, R, S),
+            )
+            ofs += sz
+    return preds
+
+
+def render_bundles(
+    params: Dict[str, Any],
+    cfg: RenderConfig,
+    bundles: list,
+    depth_range: Array,
+    progress: Array,
+    fine_enabled: bool = False,
+    impl: str = "xla",
+    merge: bool = True,
+) -> list:
+    """Render a list of RayBundles; returns one output dict per bundle with
+    exactly the render_at_pixels / render_to_max surface.
+
+    merge=False falls back to the per-bundle render calls (the equivalence
+    reference for tests and the density-noise path the merged MLP call cannot
+    express).
+    """
+    if not merge:
+        outs = []
+        for b in bundles:
+            if b.kind == "tomax":
+                p = jax.lax.stop_gradient(params) if b.no_grad else params
+                outs.append(render_to_max(
+                    p, cfg, b.pose_w2c, b.intr, b.pixels, b.depth_min, b.depth_max,
+                    progress, fine_enabled=fine_enabled, impl=impl,
+                ))
+            else:
+                p = jax.lax.stop_gradient(params) if b.no_grad else params
+                outs.append(render_at_pixels(
+                    p, cfg, b.pose_w2c, b.intr, b.pixels, depth_range, progress,
+                    key=b.key, stratified=b.stratified, fine_enabled=fine_enabled,
+                    impl=impl,
+                ))
+        return outs
+
+    geoms, keys3, depths, no_grads = [], [], [], []
+    for b in bundles:
+        center, ray = _bundle_geometry(cfg, b)
+        geoms.append((center, ray))
+        k_depth = k_fine = None
+        if b.key is not None:
+            k_depth, _k_noise, k_fine = jax.random.split(b.key, 3)
+        keys3.append((k_depth, k_fine))
+        depths.append(_coarse_depths(cfg, b, center, k_depth, depth_range))
+        no_grads.append(b.no_grad)
+
+    preds = _merged_mlp_level(params["coarse"], cfg.mlp, geoms, depths, no_grads,
+                              progress, impl)
+    outs = []
+    for (center, ray), d, pred in zip(geoms, depths, preds):
+        out = nerf_mlp.composite(ray, pred["rgb_samples"], pred["density_samples"],
+                                 d, cfg.setbg_opaque)
+        out["t"] = d
+        out["origins"] = center
+        out["viewdirs"] = ray
+        outs.append(out)
+
+    if cfg.fine_sampling and fine_enabled:
+        depths_f = []
+        for b, (center, ray), d, out, (k_depth, k_fine) in zip(
+            bundles, geoms, depths, outs, keys3
+        ):
+            if b.kind == "tomax":
+                depths_f.append(d)  # same samples through the fine MLP
+            else:
+                det = not (cfg.sample_stratified and b.stratified)
+                depth_fine = sample_depth_from_pdf(
+                    k_fine, jax.lax.stop_gradient(out["weights"][..., 0]),
+                    cfg.sample_intvs, cfg.sample_intvs_fine, depth_range, det=det,
+                )
+                depth_all = jnp.concatenate(
+                    [d, jax.lax.stop_gradient(depth_fine)], axis=2
+                )
+                depths_f.append(jnp.sort(depth_all, axis=2))
+        preds_f = _merged_mlp_level(params["fine"], cfg.fine_mlp, geoms, depths_f,
+                                    no_grads, progress, impl)
+        for (center, ray), d, pred, out in zip(geoms, depths_f, preds_f, outs):
+            out_f = nerf_mlp.composite(ray, pred["rgb_samples"],
+                                       pred["density_samples"], d, cfg.setbg_opaque)
+            out_f["t"] = d
+            out.update({k + "_fine": v for k, v in out_f.items()})
+    return outs

@@ -134,11 +134,11 @@ def default_photometric_loss_builder(cfg, render_cfg: RenderConfig, scene, sampl
         pix_y = (ray_idx // W).astype(jnp.float32) + 0.5
         pixels = jnp.stack([pix_x, pix_y], axis=-1)
 
-        out = renderer_mod.render_at_pixels(
-            nerf_params, render_cfg, poses_w2c, scene["intr"], pixels,
-            renderer_mod.render_depth_range(cfg, scene), progress, key=k_render,
-            stratified=True, fine_enabled=fine_enabled, impl=impl,
-        )
+        (out,) = yield [renderer_mod.RayBundle(
+            pixels=pixels, pose_w2c=poses_w2c, intr=scene["intr"],
+            key=k_render, stratified=True,
+        )]
+        out = dict(out)
         out["ray_idx"] = ray_idx
 
         image_at_rays = photo_mod.gather_pixels_at_rays(scene["image"], ray_idx)

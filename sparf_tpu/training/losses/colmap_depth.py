@@ -79,11 +79,10 @@ def make_colmap_depth_loss_builder(trainer):
             gt_depth = jnp.take_along_axis(depth_j, flat, axis=1)
             weight = jnp.take_along_axis(conf_j, flat, axis=1) * have_any[:, None]
 
-            ret = renderer_mod.render_at_pixels(
-                nerf_params, render_cfg, poses_w2c, scene["intr"], pix,
-                renderer_mod.render_depth_range(cfg, scene), progress, key=k_r, stratified=True,
-                fine_enabled=fine_enabled, impl=impl,
-            )
+            (ret,) = yield [renderer_mod.RayBundle(
+                pixels=pix, pose_w2c=poses_w2c, intr=scene["intr"],
+                key=k_r, stratified=True,
+            )]
 
             def term(key_name):
                 pred = ret[key_name][..., 0]  # (B,N)

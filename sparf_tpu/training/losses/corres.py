@@ -300,18 +300,17 @@ def make_corres_loss_builder(trainer):
             pose_other = jnp.take(poses_w2c, id_other, axis=0)[None]
             intr_self = jnp.take(scene["intr"], id_self, axis=0)[None]
             intr_other = jnp.take(scene["intr"], id_other, axis=0)[None]
-            depth_range = renderer_mod.render_depth_range(cfg, scene)
 
-            ret_self = renderer_mod.render_at_pixels(
-                nerf_params, render_cfg, pose_self, intr_self, pix_self[None],
-                depth_range, progress, key=k_r1, stratified=True,
-                fine_enabled=fine_enabled, impl=impl,
-            )
-            ret_other = renderer_mod.render_at_pixels(
-                nerf_params, render_cfg, pose_other, intr_other, pix_other[None],
-                depth_range, progress, key=k_r2, stratified=True,
-                fine_enabled=fine_enabled, impl=impl,
-            )
+            ret_self, ret_other = yield [
+                renderer_mod.RayBundle(
+                    pixels=pix_self[None], pose_w2c=pose_self, intr=intr_self,
+                    key=k_r1, stratified=True,
+                ),
+                renderer_mod.RayBundle(
+                    pixels=pix_other[None], pose_w2c=pose_other, intr=intr_other,
+                    key=k_r2, stratified=True,
+                ),
+            ]
 
             T_s2o = geometry.pose_to_T4x4(
                 camera.pose_compose_pair(camera.pose_invert(pose_self), pose_other)

@@ -92,15 +92,13 @@ def make_depth_cons_loss_builder(trainer):
             pose_ref = jnp.take(poses_det, id_self, axis=0)[None]       # (1,3,4)
             pose_c2w_ref4 = jnp.take(poses_c2w_4, id_self, axis=0)
             intr_ref = jnp.take(scene["intr"], id_self, axis=0)[None]   # (1,3,3)
-            depth_range = renderer_mod.render_depth_range(cfg, scene)
             near = scene["depth_range"][0, 0]
 
             # render ref view (with grad wrt nerf params; poses detached)
-            ret_ref = renderer_mod.render_at_pixels(
-                nerf_params, render_cfg, pose_ref, intr_ref, pixels_ref[None],
-                depth_range, progress, key=k_r1, stratified=True,
-                fine_enabled=fine_enabled, impl=impl,
-            )
+            (ret_ref,) = yield [renderer_mod.RayBundle(
+                pixels=pixels_ref[None], pose_w2c=pose_ref, intr=intr_ref,
+                key=k_r1, stratified=True,
+            )]
             if fine_enabled and "depth_fine" in ret_ref:
                 use_fine = (iteration >= fine_warm_iter).astype(jnp.float32)
                 depth_ref = (
@@ -137,22 +135,22 @@ def make_depth_cons_loss_builder(trainer):
             vis_depth_min = jnp.asarray(inv_depth_min) if inverse_param else near
             depth_max_safe = jnp.maximum(pseudo_depth, vis_depth_min + 1e-3)
 
-            # visibility from render-to-max transmittance (no grad)
-            ret_vis = renderer_mod.render_to_max(
-                jax.lax.stop_gradient(nerf_params), render_cfg, w2c_unseen, intr_ref,
-                pts2d_safe[None], vis_depth_min, depth_max_safe[None], progress,
-                fine_enabled=fine_enabled, impl=impl,
-            )
+            # visibility from render-to-max transmittance (no grad) + render at
+            # the projected pixels in the virtual view (with grad) — one round
+            ret_vis, ret_unseen = yield [
+                renderer_mod.RayBundle(
+                    pixels=pts2d_safe[None], pose_w2c=w2c_unseen, intr=intr_ref,
+                    kind="tomax", depth_min=vis_depth_min,
+                    depth_max=depth_max_safe[None], no_grad=True,
+                ),
+                renderer_mod.RayBundle(
+                    pixels=pts2d_safe[None], pose_w2c=w2c_unseen, intr=intr_ref,
+                    key=k_r2, stratified=True,
+                ),
+            ]
             ac_key = "all_cumulated_fine" if "all_cumulated_fine" in ret_vis else "all_cumulated"
             visibility = jax.lax.stop_gradient(ret_vis[ac_key][0])  # (N,)
             vis_ok = visibility >= 0.2
-
-            # render at projected pixels in the virtual view (with grad)
-            ret_unseen = renderer_mod.render_at_pixels(
-                nerf_params, render_cfg, w2c_unseen, intr_ref, pts2d_safe[None],
-                depth_range, progress, key=k_r2, stratified=True,
-                fine_enabled=fine_enabled, impl=impl,
-            )
 
             mask = (valid & vis_ok)[:, None].astype(jnp.float32)
 

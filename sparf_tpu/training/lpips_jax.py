@@ -114,11 +114,24 @@ class LPIPS:
     """Callable lpips(img1, img2) on NCHW images in [-1,1]; returns mean distance."""
 
     def __init__(self, weights_path: Optional[str] = None):
-        weights_path = weights_path or os.environ.get("SPARF_LPIPS_WEIGHTS")
-        if weights_path and os.path.exists(weights_path):
-            self.params = {k: jnp.asarray(v) for k, v in load_weights_npz(weights_path).items()}
+        # resolution order: explicit path -> env -> bundled converted official
+        # weights -> bundled self-supervised weights (scripts/
+        # train_lpips_selfsup.py; provenance key inside the npz) -> random
+        data_dir = os.path.join(os.path.dirname(__file__), "..", "data")
+        candidates = [
+            weights_path,
+            os.environ.get("SPARF_LPIPS_WEIGHTS"),
+            os.path.join(data_dir, "lpips_alex.npz"),
+            os.path.join(data_dir, "lpips_selfsup.npz"),
+        ]
+        weights_path = next((p for p in candidates if p and os.path.exists(p)), None)
+        if weights_path:
+            raw = load_weights_npz(weights_path)
+            self.provenance = str(raw.pop("provenance", "converted official weights"))
+            self.params = {k: jnp.asarray(v) for k, v in raw.items()}
             self.weight_tag = "lpips"
         else:
+            self.provenance = "random features"
             self.params = {k: jnp.asarray(v) for k, v in _init_random_params().items()}
             self.weight_tag = "lpips(rand)"
         self._jitted = jax.jit(self._distance)

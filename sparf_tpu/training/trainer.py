@@ -171,15 +171,56 @@ class NerfTrainerPerScene:
             fine_enabled=fine_enabled, sample_in_center=sample_in_center,
             impl=self.mlp_impl,
         )
-        extras = [mk(fine_enabled) for mk in self.extra_loss_builders]
-        if not extras:
-            return base
+        builders = [base] + [mk(fine_enabled) for mk in self.extra_loss_builders]
+        render_cfg = self.render_cfg
+        scene = self.train_scene
+        impl = self.mlp_impl
+        # merged multi-loss rendering: every loss module's ray bundles of a
+        # round share ONE MLP call per hierarchy level (renderer.render_bundles)
+        # instead of one small kernel launch each. Numerically equivalent
+        # (tests/test_merged_render.py); the per-bundle fallback remains for
+        # density-noise training, whose in-MLP noise the merged call cannot
+        # reproduce bundle-for-bundle.
+        merge = bool(cfg.tpu.get("merged_render", True)) and not cfg.nerf.density_noise_reg
 
         def combined(nerf_params, poses_w2c, key, iteration, progress):
-            keys = jax.random.split(key, 1 + len(extras))
-            loss_dict, stats = base(nerf_params, poses_w2c, keys[0], iteration, progress)
-            for k_extra, extra in zip(keys[1:], extras):
-                ld, st = extra(nerf_params, poses_w2c, k_extra, iteration, progress)
+            import types
+
+            keys = jax.random.split(key, len(builders))
+            depth_range = renderer_mod.render_depth_range(cfg, scene)
+            results: dict = {}
+            gens: dict = {}
+            pending: dict = {}
+            for i, b in enumerate(builders):
+                r = b(nerf_params, poses_w2c, keys[i], iteration, progress)
+                if isinstance(r, types.GeneratorType):
+                    gens[i] = r
+                    pending[i] = r.send(None)
+                else:
+                    results[i] = r
+            # drive all loss generators in lockstep rounds: each round batches
+            # every requested bundle into one render_bundles call
+            while pending:
+                order = sorted(pending.keys())
+                bundles = [bd for i in order for bd in pending[i]]
+                outs = renderer_mod.render_bundles(
+                    nerf_params, render_cfg, bundles, depth_range, progress,
+                    fine_enabled=fine_enabled, impl=impl, merge=merge,
+                )
+                nxt: dict = {}
+                ofs = 0
+                for i in order:
+                    n_i = len(pending[i])
+                    try:
+                        nxt[i] = gens[i].send(outs[ofs : ofs + n_i])
+                    except StopIteration as e:
+                        results[i] = e.value
+                    ofs += n_i
+                pending = nxt
+            loss_dict: dict = {}
+            stats: dict = {}
+            for i in range(len(builders)):
+                ld, st = results[i]
                 loss_dict.update(ld)
                 stats.update(st)
             return loss_dict, stats
