@@ -295,6 +295,74 @@ def run_mini_sfm(
     )
 
 
+def run_prior_init_sfm(
+    scene: Dict[str, np.ndarray], matches, init_poses_w2c: np.ndarray,
+    ba_iters: int = 1500, rounds: int = 2, max_reproj_err: float = 4.0,
+) -> "SfmResult":
+    """SfM seeded from PRIOR poses instead of essential-matrix initialization.
+
+    SPARF's joint-training regime always has noisy initial poses (~10 deg);
+    two-view minimal-solver initialization is brittle exactly where that
+    prior shines — when confident matches cluster on a near-planar surface
+    patch, the essential matrix is degenerate and RANSAC returns an
+    arbitrary member of the ambiguity family (measured 10-50 deg errors),
+    while prior-init triangulation + robust BA converges reliably.
+    Resection-intersection: triangulate tracks with the current poses ->
+    huber bundle adjustment -> drop high-residual tracks -> repeat.
+    """
+    images = scene["image"]
+    n, _, H, W = images.shape
+    K = np.asarray(scene["intr"], np.float64)
+    kps, pair_matches = matches
+    tracks = build_tracks(kps, pair_matches, n, H, W)
+    if not tracks:
+        return SfmResult(
+            poses_w2c=np.broadcast_to(np.eye(4), (n, 4, 4)).copy(),
+            valid_poses_idx=[], index_images_excluded=list(range(n)),
+        )
+
+    poses_w2c = {}
+    for i in range(n):
+        p = np.eye(4)
+        p[:3] = np.asarray(init_poses_w2c)[i, :3]
+        poses_w2c[i] = p
+
+    points3d: Dict[int, np.ndarray] = {}
+    for rnd in range(rounds):
+        def P_of(img):
+            return K[img] @ poses_w2c[img][:3]
+
+        # (re-)triangulate every track with the current poses; gate residuals
+        # loosely on the first round (the prior itself projects tens of px
+        # off) and at the target threshold afterwards
+        gate = max_reproj_err if rnd > 0 else max(0.12 * max(H, W), 25.0)
+        points3d = {}
+        for ti, tr in enumerate(tracks):
+            seen = list(tr.keys())
+            if len(seen) < 2:
+                continue
+            X = triangulate_dlt([(P_of(im), tr[im]) for im in seen])
+            if X is None:
+                continue
+            errs = reprojection_errors(X, tr, poses_w2c, K)
+            if max(errs) < gate:
+                points3d[ti] = X
+        if len(points3d) < 24:
+            return SfmResult(
+                poses_w2c=np.broadcast_to(np.eye(4), (n, 4, 4)).copy(),
+                valid_poses_idx=[], index_images_excluded=list(range(n)),
+            )
+        refined = bundle_adjust(poses_w2c, points3d, tracks, K, ba_iters)
+        poses_w2c.update(refined)
+
+    return SfmResult(
+        poses_w2c=np.stack([poses_w2c[i] for i in range(n)]).astype(np.float32),
+        valid_poses_idx=list(range(n)),
+        index_images_excluded=[],
+        **export_depth_maps(points3d, tracks, poses_w2c, K, n, H, W),
+    )
+
+
 def bundle_adjust(poses_w2c, points3d, tracks, K, n_iters: int = 300):
     """JAX bundle adjustment: Adam on per-camera se3 + 3D points, huber
     reprojection; first camera gauge-fixed. Replaces COLMAP's CERES step."""

@@ -48,7 +48,64 @@ def look_at_pose_w2c(eye: np.ndarray, target=(0.0, 0.0, 0.0)) -> np.ndarray:
     return np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
 
 
-def ray_trace(centers: np.ndarray, dirs: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _value_noise3(pts: np.ndarray, freq: float, seed: int) -> np.ndarray:
+    """Deterministic aperiodic 3-D value noise in [-1,1], (N,).
+
+    Hash-based lattice + smoothstep trilinear interpolation — the aperiodic
+    texture statistics of real photographs. (Periodic sine octaves were
+    tried first and are ADVERSARIAL for matching: ZNCC locks onto the wrong
+    period with cycle-consistent errors that poison pose estimation.)"""
+    p = pts.astype(np.float64) * freq
+    p0 = np.floor(p)
+    f = p - p0
+    f = f * f * (3.0 - 2.0 * f)
+    i0 = p0.astype(np.int64).astype(np.uint64)
+
+    def hashv(ix, iy, iz):
+        h = (ix * np.uint64(73856093)
+             ^ iy * np.uint64(19349663)
+             ^ iz * np.uint64(83492791)
+             ^ np.uint64(seed * 2654435761 + 1))
+        h = (h ^ (h >> np.uint64(13))) * np.uint64(1274126177)
+        h = h ^ (h >> np.uint64(16))
+        return (h & np.uint64(0xFFFF)).astype(np.float64) / 65535.0
+
+    one = np.uint64(1)
+    n = 0.0
+    for dx, wx in ((0, 1 - f[:, 0]), (1, f[:, 0])):
+        for dy, wy in ((0, 1 - f[:, 1]), (1, f[:, 1])):
+            for dz, wz in ((0, 1 - f[:, 2]), (1, f[:, 2])):
+                v = hashv(i0[:, 0] + np.uint64(dx) * one,
+                          i0[:, 1] + np.uint64(dy) * one,
+                          i0[:, 2] + np.uint64(dz) * one)
+                n = n + v * wx * wy * wz
+    return 2.0 * n - 1.0
+
+
+def _albedo_texture(pts: np.ndarray, octaves: int) -> np.ndarray:
+    """World-anchored view-independent procedural texture, (N,1) in ~[0.4,1.1].
+
+    Octave 1 is the original broad-stripe pattern (wavelength ~ sphere
+    radius). Higher octaves add band-limited APERIODIC detail (value noise) —
+    at 300x400 the octave-3 feature size is ~8 px. Default stays 1 octave so
+    low-resolution fixtures keep their exact appearance."""
+    tex = (
+        0.75
+        + 0.125 * np.sin(14.0 * pts[:, 0] + 23.0 * pts[:, 1])
+        + 0.125 * np.sin(19.0 * pts[:, 1] * pts[:, 2] + 7.0 * pts[:, 0])
+    )
+    if octaves >= 2:
+        tex = tex + 0.10 * _value_noise3(pts, 12.0, 11)
+    if octaves >= 3:
+        tex = tex + 0.07 * _value_noise3(pts, 38.0, 29)
+    if octaves >= 4:
+        tex = tex + 0.05 * _value_noise3(pts, 90.0, 47)
+    return tex[:, None]
+
+
+def ray_trace(
+    centers: np.ndarray, dirs: np.ndarray, texture_octaves: int = 1
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Closed-form sphere intersection; returns (rgb (N,3), depth (N,), hit (N,)).
 
     `depth` is the ray parameter t (z-depth convention when dirs are
@@ -75,11 +132,7 @@ def ray_trace(centers: np.ndarray, dirs: np.ndarray) -> Tuple[np.ndarray, np.nda
         shade = (0.35 + 0.65 * lam)[:, None]
         # procedural 3D texture (world-anchored, view-independent): makes the
         # scene matchable by appearance and well-conditioned for pose recovery
-        tex = (
-            0.75
-            + 0.125 * np.sin(14.0 * pts[:, 0] + 23.0 * pts[:, 1])
-            + 0.125 * np.sin(19.0 * pts[:, 1] * pts[:, 2] + 7.0 * pts[:, 0])
-        )[:, None]
+        tex = _albedo_texture(pts, texture_octaves)
         best_t[valid] = t[valid]
         best_rgb[valid] = shade * tex * np.array([cr, cg, cb], np.float32)
     hit_mask = np.isfinite(best_t)
@@ -87,7 +140,8 @@ def ray_trace(centers: np.ndarray, dirs: np.ndarray) -> Tuple[np.ndarray, np.nda
     return best_rgb.astype(np.float32), depth, hit_mask
 
 
-def render_view(pose_w2c: np.ndarray, intr: np.ndarray, H: int, W: int):
+def render_view(pose_w2c: np.ndarray, intr: np.ndarray, H: int, W: int,
+                texture_octaves: int = 1):
     """Analytic render: (image (H,W,3), depth (H,W), fg (H,W))."""
     from sparf_tpu.utils import camera
     import jax.numpy as jnp
@@ -97,7 +151,7 @@ def render_view(pose_w2c: np.ndarray, intr: np.ndarray, H: int, W: int):
     )
     center = np.asarray(center)[0]
     ray = np.asarray(ray)[0]
-    rgb, depth, hit = ray_trace(center, ray)
+    rgb, depth, hit = ray_trace(center, ray, texture_octaves)
     return rgb.reshape(H, W, 3), depth.reshape(H, W), hit.reshape(H, W)
 
 
@@ -113,6 +167,7 @@ def load_synthetic_scene(
     n_test: int = 3,
     increase_depth_range_by_x_percent: float = 0.0,
     angular_span: float = 1.0,
+    texture_octaves: int = 1,
     **_unused,
 ) -> base.Scene:
     """Procedural scene; `root` unused (kept for the registry signature).
@@ -143,7 +198,7 @@ def load_synthetic_scene(
 
     samples = []
     for local_i, idx in enumerate(indices):
-        img, depth, fg = render_view(poses[idx], intr, H, W)
+        img, depth, fg = render_view(poses[idx], intr, H, W, texture_octaves)
         samples.append(
             dict(
                 idx=local_i,
