@@ -169,6 +169,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--mesh", type=int, default=0,
                         help="SPMD audit on an N-device virtual CPU mesh")
+    parser.add_argument("--no-merge", action="store_true",
+                        help="disable merged multi-loss rendering (A/B)")
     args = parser.parse_args()
 
     if args.mesh:
@@ -179,6 +181,8 @@ def main():
     import jax.numpy as jnp
 
     trainer = build_trainer(args.tiny)
+    if args.no_merge:
+        trainer.cfg.tpu.merged_render = False
 
     def measure(iteration: int) -> float:
         step = trainer.get_step(iteration)
@@ -227,6 +231,7 @@ def main():
             "device": str(jax.devices()[0]),
             "n_devices": jax.device_count(),
             "tiny": bool(args.tiny),
+            "merged_render": bool(trainer.cfg.tpu.get("merged_render", True)),
             "loss": float(np.asarray(stats["all"])),
         },
     }

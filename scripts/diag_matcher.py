@@ -157,7 +157,7 @@ def main():
             t, s = int(t), int(s)
             R, tr = rel_pose(poses44, t, s)
             d = sc["depth_gt"][t][sc["valid_depth_gt"][t]]
-            c, sc_, mg = F._geom_rematch_pair(
+            c, sc_, mg, _cv, _d = F._geom_rematch_pair(
                 jimgs[t], jimgs[s], intr[t], intr[s], R, tr, d
             )
             conf = (np.asarray(sc_) >= 0.5) & (np.asarray(mg) >= 0.02)

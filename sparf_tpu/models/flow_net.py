@@ -627,12 +627,18 @@ def _relpose_from_seeds(
 def _local_depth_sweep(
     img_t: Array, img_s: Array, A: Array, B: Array, inv_d0: Array,
     d_inv_step: float, n_offsets: int = 8, radius: int = 1,
-) -> Tuple[Array, Array]:
+) -> Tuple[Array, Array, Array, Array]:
     """Per-pixel inverse-depth refinement sweep around an initial depth map.
 
     Unlike the global homography sweep, each pixel carries its own depth, so
     the warped windows follow the local surface (a slanted-plane sweep) —
-    tighter than fronto-parallel on curved geometry. Returns (corres, zncc)."""
+    tighter than fronto-parallel on curved geometry.
+    Returns (corres, zncc, curvature, inv_depth): `curvature` is the negated
+    second difference of the ZNCC profile at the peak (per step^2) — the
+    localizability of the match along the epipolar line. Smooth-shading
+    pixels produce cycle-consistent matches with near-zero curvature that
+    drift many px along the line; gating on curvature removes exactly those
+    (the geometric analog of PDC-Net's low-p_r regions)."""
     C, H, W = img_t.shape
     k2n = float(C * (2 * radius + 1) ** 2)
     xx, yy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32))
@@ -645,13 +651,34 @@ def _local_depth_sweep(
     var_t = jnp.maximum(Stt - St * St / k2n, 1e-8)
 
     offsets = jnp.arange(-n_offsets, n_offsets + 1, dtype=jnp.float32) * d_inv_step
+    J = offsets.shape[0]
 
-    def score_one(j):
+    # perpendicular band: the epipolar geometry here comes from an ESTIMATED
+    # pose; a ~0.5 deg error shifts the true match a few px off the line, and
+    # an on-line-only search then slides far ALONG the line to the best
+    # on-line appearance (measured 11-22 px along-EPE on biased pairs).
+    # Searching a narrow band perpendicular to the line both finds the true
+    # match and lets the emitted matches EXPRESS the pose error — the
+    # reprojection loss needs exactly that off-epipolar signal.
+    n_perp = 3  # band = +-3 px in 1 px steps
+    # epipolar direction at p: d(warp)/d(inv_d) ∝ (B1 A3 - A1 B3, B2 A3 - A2 B3)
+    ex = Bg[0] * Ag[2] - Ag[0] * Bg[2]
+    ey = Bg[1] * Ag[2] - Ag[1] * Bg[2]
+    en = jnp.sqrt(ex * ex + ey * ey) + 1e-9
+    # unit perpendicular
+    px_dir = -ey / en
+    py_dir = ex / en
+    perp = jnp.arange(-n_perp, n_perp + 1, dtype=jnp.float32)  # px units
+    K_perp = perp.shape[0]
+
+    def score_one(jk):
+        j = jk // K_perp
+        k = jk % K_perp
         inv_d = inv_d0 + offsets[j]
         ph = Ag + inv_d[None] * Bg
         z = jnp.where(jnp.abs(ph[2]) < 1e-6, 1e-6, ph[2])
-        x = ph[0] / z
-        y = ph[1] / z
+        x = ph[0] / z + perp[k] * px_dir
+        y = ph[1] / z + perp[k] * py_dir
         inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1) & (ph[2] > 1e-6)
         warped = _bilinear_at(img_s, x.reshape(-1), y.reshape(-1)).reshape(C, H, W)
         Ss = _box_sum(warped, radius).sum(0)
@@ -661,23 +688,43 @@ def _local_depth_sweep(
         var_s = jnp.maximum(Sss - Ss * Ss / k2n, 1e-8)
         return jnp.where(inb, cov / jnp.sqrt(var_t * var_s), -1.0)
 
-    scores = jax.lax.map(score_one, jnp.arange(offsets.shape[0]))  # (J,H,W)
-    J = offsets.shape[0]
-    best = jnp.argmax(scores, axis=0)
+    scores = jax.lax.map(score_one, jnp.arange(J * K_perp))  # (J*K,H,W)
+    flat_best = jnp.argmax(scores, axis=0)
     s0 = jnp.max(scores, axis=0)
-    bm = jnp.clip(best - 1, 0, J - 1)
-    bp = jnp.clip(best + 1, 0, J - 1)
-    sm = jnp.take_along_axis(scores, bm[None], axis=0)[0]
-    sp = jnp.take_along_axis(scores, bp[None], axis=0)[0]
-    denom = sm - 2 * s0 + sp
-    off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / (denom + 1e-12), 0.0)
-    off = jnp.clip(off, -0.5, 0.5) * ((best > 0) & (best < J - 1))
-    inv_d_star = inv_d0 + offsets[best] + off * d_inv_step
+    best = flat_best // K_perp
+    best_k = flat_best % K_perp
+
+    def parab(idx_lo, idx_hi, step_idx):
+        sm = jnp.take_along_axis(scores, idx_lo[None], axis=0)[0]
+        sp = jnp.take_along_axis(scores, idx_hi[None], axis=0)[0]
+        denom = sm - 2 * s0 + sp
+        off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / (denom + 1e-12), 0.0)
+        return jnp.clip(off, -0.5, 0.5), denom
+
+    # subpixel along the depth axis (at the best perp offset)
+    bm = jnp.clip(best - 1, 0, J - 1) * K_perp + best_k
+    bp = jnp.clip(best + 1, 0, J - 1) * K_perp + best_k
+    off_j, denom_j = parab(bm, bp, 1)
+    off_j = off_j * ((best > 0) & (best < J - 1))
+    inv_d_star = inv_d0 + offsets[best] + off_j * d_inv_step
+
+    # subpixel across the band (at the best depth)
+    km = best * K_perp + jnp.clip(best_k - 1, 0, K_perp - 1)
+    kp = best * K_perp + jnp.clip(best_k + 1, 0, K_perp - 1)
+    off_k, _ = parab(km, kp, 1)
+    off_k = off_k * ((best_k > 0) & (best_k < K_perp - 1))
+    perp_star = perp[best_k] + off_k
 
     ph = Ag + inv_d_star[None] * Bg
     z = jnp.where(jnp.abs(ph[2]) < 1e-6, 1e-6, ph[2])
-    corres = jnp.stack([ph[0] / z, ph[1] / z], -1)
-    return corres, s0
+    corres = jnp.stack(
+        [ph[0] / z + perp_star * px_dir, ph[1] / z + perp_star * py_dir], -1
+    )
+    # boundary peaks (true optimum outside the sweep range) get curvature 0:
+    # their second difference is meaningless and the match is untrusted
+    interior = (best > 0) & (best < J - 1)
+    curv = jnp.maximum(-denom_j, 0.0) * interior
+    return corres, s0, curv, inv_d_star
 
 
 def _geom_rematch_pair(
@@ -742,11 +789,11 @@ def _geom_rematch_pair(
     )
     inv_d0 = jnp.clip(inv_d0, inv_lo, inv_hi)
     # fixed offset count: stable shapes -> one compiled refinement kernel
-    corres, score = _local_depth_sweep(
+    corres, score, curv, inv_d = _local_depth_sweep(
         img_t, img_s, A, B, inv_d0, float(fine_step_inv), n_offsets=16,
         radius=radius,
     )
-    return corres, score, margin
+    return corres, score, margin, curv, inv_d
 
 
 def cc_maps_from_corres(corres_maps: np.ndarray, combi_list: np.ndarray) -> np.ndarray:
@@ -1030,10 +1077,10 @@ def _pairwise_geom_round(
         if rp is None:
             continue
         R, tvec, d_t, d_s = rp
-        c_ts, s_ts, m_ts = _geom_rematch_pair(
+        c_ts, s_ts, m_ts, _, _ = _geom_rematch_pair(
             imgs[t], imgs[s], K_t, K_s, R, tvec, d_t
         )
-        c_st, s_st, m_st = _geom_rematch_pair(
+        c_st, s_st, m_st, _, _ = _geom_rematch_pair(
             imgs[s], imgs[t], K_s, K_t, R.T, -R.T @ tvec, d_s
         )
         if lk_for_next:
@@ -1165,7 +1212,10 @@ def _geometry_rounds(images, imgs, intr, flows, unordered, init_poses_w2c,
     return best
 
 
-def _rematch_all_pairs(imgs, intr, flows, unordered, poses, depth_pool, radius=1):
+def _rematch_all_pairs(imgs, intr, flows, unordered, poses, depth_pool, radius=1,
+                       extras=None):
+    """extras (optional dict): receives {(t,s): (curvature, inv_depth)} for
+    the localizability + multi-view-agreement confidence gates."""
     for t, s in unordered:
         if depth_pool.get(t) is None or depth_pool.get(s) is None:
             continue
@@ -1173,16 +1223,19 @@ def _rematch_all_pairs(imgs, intr, flows, unordered, poses, depth_pool, radius=1
         t_rel = poses[s, :3, 3] - R_rel @ poses[t, :3, 3]
         if np.linalg.norm(t_rel) < 1e-9:
             continue
-        c_ts, s_ts, m_ts = _geom_rematch_pair(
+        c_ts, s_ts, m_ts, cv_ts, d_ts = _geom_rematch_pair(
             imgs[t], imgs[s], intr[t], intr[s], R_rel, t_rel,
             depth_pool[t], radius=radius,
         )
-        c_st, s_st, m_st = _geom_rematch_pair(
+        c_st, s_st, m_st, cv_st, d_st = _geom_rematch_pair(
             imgs[s], imgs[t], intr[s], intr[t], R_rel.T,
             -R_rel.T @ t_rel, depth_pool[s], radius=radius,
         )
         flows[(t, s)] = (c_ts, s_ts, m_ts)
         flows[(s, t)] = (c_st, s_st, m_st)
+        if extras is not None:
+            extras[(t, s)] = (cv_ts, d_ts)
+            extras[(s, t)] = (cv_st, d_st)
 
 
 # geometry bootstrap runs at <= this many px on the long image side; the
@@ -1228,14 +1281,16 @@ def _compute_zncc_flow_impl(
         )
         if poses is not None:
             flows = {}
+            extras = {}
             # radius 3 = 7x7 ZNCC windows: measured monotone localization gain
             # over 3x3 at full res (med EPE 5.4 -> 2.4 px on the hardest pair
             # with oracle poses; smooth shading needs the extra context)
             _rematch_all_pairs(imgs, intr, flows, unordered, poses, depth_pool,
-                               radius=3)
+                               radius=3, extras=extras)
             if flows:
                 return _assemble_flow_outputs(
-                    flows, combi_list, min_zncc_score, min_margin, return_cc
+                    flows, combi_list, min_zncc_score, min_margin, return_cc,
+                    extras=extras,
                 )
         # bootstrap failed -> upsample the low-res flows (graceful, avoids the
         # very costly full-res appearance stage)
@@ -1261,8 +1316,47 @@ def _compute_zncc_flow_impl(
                                   return_cc)
 
 
+def _multiview_agreement_masks(extras, mv_tol: float):
+    """{(t,s): bool (H,W)} — does pair (t,s)'s implied inverse depth of view t
+    agree with at least one OTHER pair of the same view?  All pairs share one
+    global SfM scale, so the per-pixel inverse depths are directly comparable;
+    a match that is cycle-consistent but slid along its epipolar line implies
+    a depth no other pair reproduces."""
+    by_target: Dict[int, list] = {}
+    for (t, s), (_curv, invd) in extras.items():
+        by_target.setdefault(t, []).append((s, np.asarray(invd)))
+    masks = {}
+    for t, lst in by_target.items():
+        if len(lst) < 2:
+            continue
+        for i, (s_i, d_i) in enumerate(lst):
+            ok = None
+            for j, (s_j, d_j) in enumerate(lst):
+                if i == j:
+                    continue
+                rel = np.abs(d_i - d_j) / np.maximum(
+                    np.maximum(np.abs(d_i), np.abs(d_j)), 1e-9
+                )
+                m = rel < mv_tol
+                ok = m if ok is None else (ok | m)
+            masks[(t, s_i)] = ok
+    return masks
+
+
 def _assemble_flow_outputs(flows, combi_list, min_zncc_score, min_margin,
-                           return_cc):
+                           return_cc, extras=None, min_curv: float = 0.0,
+                           mv_tol: float = 0.0):
+    # Both optional gates default OFF — measured on the sphere rig:
+    #  - min_curv (peak-curvature/localizability): high-curvature peaks are
+    #    dominated by silhouette/limb matches — sharp, cycle-consistent, and
+    #    systematically WRONG (the contour generator moves with viewpoint);
+    #  - mv_tol (multi-view inverse-depth agreement): along-epipolar depth
+    #    noise on valid low-parallax matches fails the gate far more often
+    #    than true outliers do (kept 84% fewer matches at no quality gain).
+    # The perpendicular band sweep (_local_depth_sweep n_perp) addresses the
+    # underlying failure instead. Plumbing retained for harder scenes.
+    mv_masks = (_multiview_agreement_masks(extras, mv_tol)
+                if extras and mv_tol > 0 else {})
     corres_out, conf_out, cc_out = [], [], []
     for t, s in combi_list.T:
         t, s = int(t), int(s)
@@ -1270,6 +1364,13 @@ def _assemble_flow_outputs(flows, combi_list, min_zncc_score, min_margin,
         corres_st = flows[(s, t)][0]
         conf = _cycle_confidence(corres_ts, corres_st)
         conf = conf * (score_ts >= min_zncc_score) * (margin_ts >= min_margin)
+        if extras and (t, s) in extras:
+            # localizability gate: ZNCC peak curvature along the epipolar
+            # sweep — flat profiles are cycle-consistent but slide freely
+            curv = np.asarray(extras[(t, s)][0])
+            conf = conf * (curv >= min_curv)
+        if (t, s) in mv_masks:
+            conf = conf * mv_masks[(t, s)]
         corres_out.append(np.asarray(corres_ts).transpose(2, 0, 1))
         conf_out.append(np.asarray(conf)[None])
         if return_cc:

@@ -154,7 +154,9 @@ def test_geometric_matcher_on_dtu_like_rig():
     medians = []
     for p in range(combi.shape[1]):
         m = (conf[p, 0] > 0.95) & (gt_conf[p, 0] > 0.5)
-        assert m.sum() > 60, f"pair {combi[:, p]}: only {m.sum()} confident px"
+        # the perpendicular band sweep trades match count for localization
+        # (off-line freedom raises cycle asymmetry on weak-texture px)
+        assert m.sum() > 45, f"pair {combi[:, p]}: only {m.sum()} confident px"
         err = np.linalg.norm(corres[p] - gt_corres[p], axis=0)[m]
         medians.append(np.median(err))
     assert np.median(medians) < 1.5, f"median EPE per pair: {medians}"
