@@ -31,6 +31,11 @@ def get_base_config() -> ConfigDict:
     cfg.skip_large_gradients = None  # skip steps whose grad norm exceeds this
     cfg.print_gradients = False  # log max-abs + total grad norm every step
     # (reference iter_based_trainer.py:152-163)
+    # mid-training matcher refresh (NO reference counterpart): at this ratio
+    # of max_iter, rebuild the correspondence pools with the current pose
+    # estimates as the matcher's SfM prior (joint_trainer.
+    # refresh_correspondence_pools). None = reference-parity static pools.
+    cfg.rematch_at_ratio = None
     cfg.arch = ConfigDict()
 
     # loss module
@@ -67,10 +72,13 @@ def get_base_config() -> ConfigDict:
     cfg.tpu.use_pallas = True
     cfg.tpu.donate_state = True
     # batch every loss module's ray bundles of a step into ONE MLP call per
-    # hierarchy level (renderer.render_bundles) — fills the MXU instead of
-    # issuing up to six small per-loss renders. Numerically equivalent; auto
-    # falls back to per-bundle rendering under density_noise_reg.
-    cfg.tpu.merged_render = True
+    # hierarchy level (renderer.render_bundles). Numerically equivalent to
+    # per-bundle rendering (tests/test_merged_render.py) but measured SLOWER
+    # on v5e at both tiny and DTU shapes (joint stage 17.8 vs 34.6 it/s):
+    # XLA already pipelines the separate renders, and the merge's extra
+    # concat/slice/flatten materialization outweighs the launches it saves.
+    # Default off; kept as an option (and for the SPMD mesh audit).
+    cfg.tpu.merged_render = False
     return cfg
 
 

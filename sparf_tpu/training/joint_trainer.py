@@ -148,6 +148,26 @@ class PoseAndNerfTrainerPerScene(NerfTrainerPerScene):
             self.state = self.state.replace(
                 nerf_params=nerf_params, opt_state_nerf=self.tx_nerf.init(nerf_params)
             )
+        rr = self.cfg.get("rematch_at_ratio")
+        if (rr is not None and not getattr(self, "_rematched", False)
+                and iteration >= int(float(rr) * self.cfg.max_iter) > 0):
+            self._rematched = True
+            self.refresh_correspondence_pools()
+
+    def refresh_correspondence_pools(self):
+        """Mid-training matcher refresh — NO reference counterpart (the
+        reference's pools are static for the whole run). Once the joint stage
+        has pulled the poses from ~10 deg to ~2 deg, re-running the
+        geometry-guided matcher with the CURRENT estimates as its SfM prior
+        yields far cleaner pools (the matcher's own accuracy is bounded by
+        its pose prior); the remaining joint iterations then converge on the
+        better matches. Enable with cfg.rematch_at_ratio (e.g. 0.15).
+        Triggers once, >= the boundary (covers resume past the boundary)."""
+        self.logger.info("rematch: rebuilding correspondence pools with "
+                         "current pose estimates as the geometry prior")
+        self.matcher_prior_poses_w2c = np.asarray(self.current_poses_w2c())
+        self.define_loss_module()
+        self._step_cache = {}
 
     # ------------------------------------------------------------- pose state
 

@@ -229,9 +229,14 @@ def compute_render_and_repro_loss_w_repro_thres(
 def make_corres_loss_builder(trainer):
     """Returns make(fine_enabled) -> LossBuilder. Precomputes pools now."""
     cfg = trainer.cfg
+    # matcher geometry prior: the mid-training rematch (rematch_at_ratio)
+    # swaps in the current pose estimates; otherwise the initial poses
+    prior = getattr(trainer, "matcher_prior_poses_w2c", None)
+    if prior is None:
+        prior = getattr(trainer, "initial_poses_w2c", None)
     pools_np = build_correspondence_pools(
         cfg, trainer.train_scene_np, trainer.logger,
-        init_poses_w2c=getattr(trainer, "initial_poses_w2c", None),
+        init_poses_w2c=prior,
     )
     trainer.corres_pools = pools_np  # exposed for tests/flow metrics
     flow_stats = compute_flow_metrics(pools_np, trainer.train_scene_np)

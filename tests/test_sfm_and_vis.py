@@ -38,6 +38,64 @@ def test_mini_sfm_recovers_poses(scene, tmp_path_factory):
     assert conf_vals.max() <= 1.0
 
 
+def test_prior_init_sfm_recovers_relative_poses(scene):
+    """run_prior_init_sfm from ~9-deg-noisy priors + GT matches must reach
+    sub-degree RELATIVE poses — the regime where essential-matrix init
+    degenerates on clustered near-planar matches (flow_net._sfm_from_matches
+    prefers this path whenever SPARF's noisy init poses exist)."""
+    import jax.numpy as jnp
+
+    from sparf_tpu.models import flow_net as F
+    from sparf_tpu.utils import camera as cam
+
+    n = scene["image"].shape[0]
+    H, W = scene["image"].shape[-2:]
+    combi = F.get_combi_list(n, "all")
+    gt_c, gt_f = F.compute_gt_flow_of_combi_list(scene, combi)
+
+    kps = sfm.grid_keypoints(H, W, 2, margin=4)
+    kx, ky = kps[:, 0].astype(int), kps[:, 1].astype(int)
+    pidx = {(int(t), int(s)): p for p, (t, s) in enumerate(combi.T)}
+    pair_matches = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = pidx[(i, j)]
+            sel = np.where(gt_f[p, 0][ky, kx] > 0.5)[0]
+            xy = gt_c[p][:, ky[sel], kx[sel]].T
+            inb = ((xy[:, 0] >= 0) & (xy[:, 0] <= W - 1)
+                   & (xy[:, 1] >= 0) & (xy[:, 1] <= H - 1))
+            pair_matches[(i, j)] = (sel[inb], xy[inb].astype(np.float32))
+
+    import jax
+
+    se3_noise = jax.random.normal(jax.random.PRNGKey(2), (n, 6)) * 0.12
+    noise44 = np.asarray(cam.se3_to_SE3(se3_noise))
+    priors = np.asarray(cam.pose_compose(
+        [jnp.asarray(noise44), jnp.asarray(scene["pose"])]
+    ))
+
+    res = sfm.run_prior_init_sfm(
+        {"image": scene["image"], "intr": scene["intr"]},
+        (kps, pair_matches), priors, ba_iters=1500,
+    )
+    assert not res.index_images_excluded
+
+    def rel_rot_err(poses):
+        errs = []
+        for t in range(n):
+            for s in range(t + 1, n):
+                Rg = scene["pose"][s][:3, :3] @ scene["pose"][t][:3, :3].T
+                Re = poses[s][:3, :3] @ poses[t][:3, :3].T
+                c = (np.trace(Rg.T @ Re) - 1) / 2
+                errs.append(np.degrees(np.arccos(np.clip(c, -1, 1))))
+        return np.asarray(errs)
+
+    errs = rel_rot_err(res.poses_w2c)
+    prior_errs = rel_rot_err(priors)
+    assert errs.mean() < 1.0, (errs, prior_errs)
+    assert errs.mean() < prior_errs.mean() / 5
+
+
 def test_mini_sfm_cache_roundtrip(scene, tmp_path):
     cfg = ConfigDict(use_gt_correspondences=True)
     r1 = sfm.compute_sfm_from_matches(cfg, scene, str(tmp_path), load_colmap_depth=False)
