@@ -138,20 +138,26 @@ def sample_depth_from_pdf(
     unif = 0.5 * (grid[:-1] + grid[1:])
     unif = jnp.broadcast_to(unif, (*cdf.shape[:-1], n_samples_fine))
 
-    # batched searchsorted(side='right') as one broadcast-compare reduction:
-    # idx = #{cdf <= u}. S is small (128), so the (B,R,Nf,S+1) bool tensor is a
-    # single fused VPU reduce — far cheaper to compile/run than vmapped
-    # searchsorted on TPU.
-    idx = jnp.sum(cdf[..., None, :] <= unif[..., :, None], axis=-1)
+    # batched searchsorted(side='right') + the 4 bin lookups, all as fused
+    # broadcast-compare reductions over the (B,R,Nf,S+1) tile. S is small
+    # (128) so XLA streams this in one kLoop pass; the take_along_axis form
+    # instead lowered to 16 serial gather fusions costing ~25 ms/step at the
+    # DTU fine-stage shape (profiled r3; see PERF_NOTES.md).
+    le = cdf[..., None, :] <= unif[..., :, None]            # (B,R,Nf,S+1)
+    idx = jnp.sum(le, axis=-1)                              # #{cdf <= u}
+    # cdf[idx-1] = largest cdf value <= u (cdf >= 0, so -1 is a safe floor);
+    # cdf[min(idx,S)] = smallest cdf value > u, except u >= cdf[-1] where the
+    # clipped gather returns cdf[-1] — reproduce with the same fallback.
+    cdf_low = jnp.max(jnp.where(le, cdf[..., None, :], -1.0), axis=-1)
+    cdf_high = jnp.min(jnp.where(le, jnp.inf, cdf[..., None, :]), axis=-1)
+    cdf_high = jnp.where(jnp.isfinite(cdf_high), cdf_high, cdf[..., -1:])
 
-    depth_bin = jnp.linspace(depth_min, depth_max, n_samples_coarse + 1)
-    depth_bin = jnp.broadcast_to(depth_bin, (*cdf.shape[:-1], n_samples_coarse + 1))
+    # uniform bins: depth_bin[i] = depth_min + i*delta — arithmetic, no gather
+    delta = (depth_max - depth_min) / n_samples_coarse
     idx_low = jnp.clip(idx - 1, 0, n_samples_coarse)
     idx_high = jnp.clip(idx, None, n_samples_coarse)
-    depth_low = jnp.take_along_axis(depth_bin, idx_low, axis=-1)
-    depth_high = jnp.take_along_axis(depth_bin, idx_high, axis=-1)
-    cdf_low = jnp.take_along_axis(cdf, idx_low, axis=-1)
-    cdf_high = jnp.take_along_axis(cdf, idx_high, axis=-1)
+    depth_low = depth_min + idx_low.astype(jnp.float32) * delta
+    depth_high = depth_min + idx_high.astype(jnp.float32) * delta
     t = (unif - cdf_low) / (cdf_high - cdf_low + 1e-8)
     samples = depth_low + t * (depth_high - depth_low)
     return samples[..., None]
@@ -244,8 +250,13 @@ def render_rays(
             k_fine, jax.lax.stop_gradient(out["weights"][..., 0]),
             cfg.sample_intvs, cfg.sample_intvs_fine, depth_range, det=det,
         )
-        depth_all = jnp.concatenate([depth_samples, jax.lax.stop_gradient(depth_fine)], axis=2)
-        depth_all = jnp.sort(depth_all, axis=2)
+        depth_all = jnp.concatenate([depth_samples, depth_fine], axis=2)
+        # stop_gradient: no parameter path exists through the sample positions
+        # (coarse depths are pure RNG, fine depths resample stop_grad'd
+        # weights), but without the explicit stop jax's sort-VJP emits a
+        # tuple (f32,s32) sort to save the permutation — measured 6 ms/step
+        # at the DTU fine-stage shape (r3 profile).
+        depth_all = jax.lax.stop_gradient(jnp.sort(depth_all, axis=2))
         pred_f = forward_samples(params["fine"], cfg, center, ray, depth_all, progress,
                                  density_noise_key=None, impl=impl, mlp_cfg=cfg.fine_mlp)
         out_f = nerf_mlp.composite(ray, pred_f["rgb_samples"], pred_f["density_samples"],
@@ -544,10 +555,9 @@ def render_bundles(
                     k_fine, jax.lax.stop_gradient(out["weights"][..., 0]),
                     cfg.sample_intvs, cfg.sample_intvs_fine, depth_range, det=det,
                 )
-                depth_all = jnp.concatenate(
-                    [d, jax.lax.stop_gradient(depth_fine)], axis=2
-                )
-                depths_f.append(jnp.sort(depth_all, axis=2))
+                depth_all = jnp.concatenate([d, depth_fine], axis=2)
+                # same stop_gradient rationale as render_rays' fine merge
+                depths_f.append(jax.lax.stop_gradient(jnp.sort(depth_all, axis=2)))
         preds_f = _merged_mlp_level(params["fine"], cfg.fine_mlp, geoms, depths_f,
                                     no_grads, progress, impl)
         for (center, ray), d, pred, out in zip(geoms, depths_f, preds_f, outs):
