@@ -83,6 +83,10 @@ def _conv(x: Array, w: Array, b: Array, stride: int, pad: int) -> Array:
         x, w, window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # f32 accumulation: TPU's default bf16 conv pass shifts the reported
+        # metric vs the reference's f32 torch path (and vs our own CPU runs);
+        # LPIPS only runs at validation so the 3-pass cost is irrelevant
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y + b.reshape(1, -1, 1, 1)
 
@@ -129,7 +133,12 @@ class LPIPS:
             raw = load_weights_npz(weights_path)
             self.provenance = str(raw.pop("provenance", "converted official weights"))
             self.params = {k: jnp.asarray(v) for k, v in raw.items()}
-            self.weight_tag = "lpips"
+            # VERDICT r2 #5: the tag must distinguish converted-official
+            # weights (values comparable to pip-lpips tables) from
+            # self-supervised 2AFC weights (rank-validated only; values NOT
+            # comparable to published LPIPS numbers).
+            official = "official" in self.provenance.lower()
+            self.weight_tag = "lpips" if official else "lpips(selfsup)"
         else:
             self.provenance = "random features"
             self.params = {k: jnp.asarray(v) for k, v in _init_random_params().items()}

@@ -58,7 +58,14 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _depthwise_conv(img: Array, window: Array) -> Array:
-    """img (B,C,H,W), window (k,k); per-channel 'same' conv."""
+    """img (B,C,H,W), window (k,k); per-channel 'same' conv.
+
+    precision=HIGHEST is load-bearing on TPU: the default bf16 MXU pass makes
+    the E[x^2]-E[x]^2 variance estimates in ssim() catastrophically cancel
+    (negative variances -> SSIM > 1, observed 1.42-1.58 on-device while the
+    identical inputs give 0.65 on CPU). The reference computes these convs in
+    f32 (pytorch_ssim/ssim.py), so full precision is also the parity choice.
+    """
     C = img.shape[1]
     kernel = jnp.broadcast_to(window, (C, 1, *window.shape))  # (C,1,k,k)
     return jax.lax.conv_general_dilated(
@@ -68,6 +75,7 @@ def _depthwise_conv(img: Array, window: Array) -> Array:
         padding="SAME",
         feature_group_count=C,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
