@@ -73,7 +73,10 @@ def list_snapshots(workspace: str):
     for d in os.listdir(workspace):
         m = re.fullmatch(r"iter-(\d+)", d)
         if m:
-            out.append((int(m.group(1)), os.path.join(workspace, d)))
+            # absolute: orbax restore rejects relative paths (a run launched
+            # from the repo root with the default relative workspace would
+            # crash on resume otherwise)
+            out.append((int(m.group(1)), os.path.join(os.path.abspath(workspace), d)))
     return sorted(out)
 
 

@@ -290,7 +290,7 @@ def make_corres_loss_builder(trainer):
         def builder(nerf_params, poses_w2c, key, iteration, progress):
             from sparf_tpu.parallel import mesh as mesh_mod
 
-            k_pair, k_sub, k_r1, k_r2 = jax.random.split(key, 4)
+            k_pair, k_sub, k_r1 = jax.random.split(key, 3)
             p = jax.random.randint(k_pair, (), 0, n_pairs)
             count = pools["pool_count"][p]
             idx = jax.random.randint(k_sub, (N,), 0, 2**31 - 1) % count
