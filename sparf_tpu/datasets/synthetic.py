@@ -104,12 +104,18 @@ def _albedo_texture(pts: np.ndarray, octaves: int) -> np.ndarray:
 
 
 def ray_trace(
-    centers: np.ndarray, dirs: np.ndarray, texture_octaves: int = 1
+    centers: np.ndarray, dirs: np.ndarray, texture_octaves: int = 1,
+    specular: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Closed-form sphere intersection; returns (rgb (N,3), depth (N,), hit (N,)).
 
     `depth` is the ray parameter t (z-depth convention when dirs are
     K^-1-scaled, matching the renderer's expected-depth output).
+
+    `specular` > 0 adds a white Blinn-Phong lobe (exponent 48) — a
+    VIEW-DEPENDENT highlight that breaks the lambertian photometric-constancy
+    assumption, stress-testing the matcher like real glossy DTU materials
+    (VERDICT r2 #3).
     """
     N = centers.shape[0]
     best_t = np.full(N, np.inf, np.float32)
@@ -133,15 +139,48 @@ def ray_trace(
         # procedural 3D texture (world-anchored, view-independent): makes the
         # scene matchable by appearance and well-conditioned for pose recovery
         tex = _albedo_texture(pts, texture_octaves)
+        rgb_v = shade * tex * np.array([cr, cg, cb], np.float32)
+        if specular > 0:
+            view = -dirs[valid] / np.linalg.norm(dirs[valid], axis=-1, keepdims=True)
+            half = view - LIGHT_DIR
+            half /= np.linalg.norm(half, axis=-1, keepdims=True)
+            spec = specular * np.clip(np.sum(normal * half, -1), 0, 1) ** 48
+            rgb_v = rgb_v + spec[:, None]
         best_t[valid] = t[valid]
-        best_rgb[valid] = shade * tex * np.array([cr, cg, cb], np.float32)
+        best_rgb[valid] = rgb_v
     hit_mask = np.isfinite(best_t)
     depth = np.where(hit_mask, best_t, 0.0).astype(np.float32)
     return best_rgb.astype(np.float32), depth, hit_mask
 
 
+def apply_photometric_perturbation(
+    img: np.ndarray, rng: np.random.RandomState,
+    exposure_jitter: float = 0.0, wb_jitter: float = 0.0,
+    noise_sigma: float = 0.0, vignette: float = 0.0,
+) -> np.ndarray:
+    """Camera-realistic per-view corruption of an (H,W,3) image in [0,1]:
+    exposure shift (+-stops), white-balance gain, radial vignetting falloff,
+    additive sensor noise. Deterministic given `rng` (VERDICT r2 #3 —
+    photometric-reality hardening rungs)."""
+    H, W, _ = img.shape
+    out = img.astype(np.float32)
+    if exposure_jitter > 0:
+        out = out * 2.0 ** rng.uniform(-exposure_jitter, exposure_jitter)
+    if wb_jitter > 0:
+        out = out * np.exp(rng.uniform(-wb_jitter, wb_jitter, 3))[None, None, :]
+    if vignette > 0:
+        yy = (np.arange(H) / max(H - 1, 1) - 0.5)[:, None]
+        xx = (np.arange(W) / max(W - 1, 1) - 0.5)[None, :]
+        r2 = (xx**2 + yy**2) / 0.5
+        k = rng.uniform(0.5, 1.0) * vignette
+        out = out * (1.0 - k * r2)[..., None]
+    if noise_sigma > 0:
+        out = out + rng.normal(0.0, noise_sigma, out.shape)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
 def render_view(pose_w2c: np.ndarray, intr: np.ndarray, H: int, W: int,
-                texture_octaves: int = 1):
+                texture_octaves: int = 1, specular: float = 0.0):
     """Analytic render: (image (H,W,3), depth (H,W), fg (H,W))."""
     from sparf_tpu.utils import camera
     import jax.numpy as jnp
@@ -151,7 +190,7 @@ def render_view(pose_w2c: np.ndarray, intr: np.ndarray, H: int, W: int,
     )
     center = np.asarray(center)[0]
     ray = np.asarray(ray)[0]
-    rgb, depth, hit = ray_trace(center, ray, texture_octaves)
+    rgb, depth, hit = ray_trace(center, ray, texture_octaves, specular)
     return rgb.reshape(H, W, 3), depth.reshape(H, W), hit.reshape(H, W)
 
 
@@ -168,13 +207,26 @@ def load_synthetic_scene(
     increase_depth_range_by_x_percent: float = 0.0,
     angular_span: float = 1.0,
     texture_octaves: int = 1,
+    specular: float = 0.0,
+    exposure_jitter: float = 0.0,
+    wb_jitter: float = 0.0,
+    noise_sigma: float = 0.0,
+    vignette: float = 0.0,
+    photo_seed: int = 7,
     **_unused,
 ) -> base.Scene:
     """Procedural scene; `root` unused (kept for the registry signature).
 
     `angular_span`: total azimuth range of the camera ring in radians
     (default 1.0 rad = 57 deg — a WIDE-baseline stress rig; DTU-style 3-view
-    inputs are a few degrees apart, e.g. 0.2-0.35 rad for the whole ring)."""
+    inputs are a few degrees apart, e.g. 0.2-0.35 rad for the whole ring).
+
+    Photometric-reality knobs (VERDICT r2 #3 — stress the matcher the way
+    real DTU photographs do): `specular` adds a view-dependent Blinn-Phong
+    lobe to the shading; `exposure_jitter` (stops), `wb_jitter` (log-gain),
+    `noise_sigma`, `vignette` apply a deterministic PER-VIEW camera
+    perturbation seeded by `photo_seed` + the global view id (train and val
+    draw consistent corruptions for the same physical view)."""
     focal = 0.9 * W
     intr = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
 
@@ -196,9 +248,16 @@ def load_synthetic_scene(
     if split != "train" and val_sub is not None:
         indices = indices[:val_sub]
 
+    perturb = exposure_jitter > 0 or wb_jitter > 0 or noise_sigma > 0 or vignette > 0
     samples = []
     for local_i, idx in enumerate(indices):
-        img, depth, fg = render_view(poses[idx], intr, H, W, texture_octaves)
+        img, depth, fg = render_view(poses[idx], intr, H, W, texture_octaves,
+                                     specular)
+        if perturb:
+            rng = np.random.RandomState(photo_seed * 1000 + idx)
+            img = apply_photometric_perturbation(
+                img, rng, exposure_jitter=exposure_jitter, wb_jitter=wb_jitter,
+                noise_sigma=noise_sigma, vignette=vignette)
         samples.append(
             dict(
                 idx=local_i,

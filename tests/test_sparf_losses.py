@@ -162,6 +162,52 @@ def test_geometric_matcher_on_dtu_like_rig():
     assert np.median(medians) < 1.5, f"median EPE per pair: {medians}"
 
 
+def test_geometric_matcher_under_photometric_perturbation():
+    """Photometric-reality rung (VERDICT r2 #3): the same DTU-like rig with
+    per-view exposure (+-0.3 stops), white-balance shifts, vignetting, sensor
+    noise (sigma=0.01) and a specular lobe. Real DTU photographs carry all of
+    these; ZNCC is affine-intensity invariant by construction, and this test
+    pins that the LK polish / plane-sweep / cycle-confidence stages survive
+    them too. GT flow comes from the UNPERTURBED analytic depth, so the
+    contract is unchanged: median EPE < 1.5 px on confident matches."""
+    sc = load_synthetic_scene(
+        split="train", H=64, W=80, n_train=3, n_test=1, angular_span=0.35,
+        specular=0.3, exposure_jitter=0.3, wb_jitter=0.1, noise_sigma=0.01,
+        vignette=0.2,
+    )
+    combi = np.array([[0, 0, 1], [1, 2, 2]], np.int32)
+    corres, conf = flow_net.compute_zncc_flow_of_combi_list(
+        sc["image"], combi, intr=sc["intr"]
+    )
+    gt_corres, gt_conf = flow_net.compute_gt_flow_of_combi_list(sc, combi)
+    medians = []
+    for p in range(combi.shape[1]):
+        m = (conf[p, 0] > 0.95) & (gt_conf[p, 0] > 0.5)
+        assert m.sum() > 45, f"pair {combi[:, p]}: only {m.sum()} confident px"
+        err = np.linalg.norm(corres[p] - gt_corres[p], axis=0)[m]
+        medians.append(np.median(err))
+    assert np.median(medians) < 1.5, f"median EPE per pair: {medians}"
+
+
+def test_photometric_perturbation_is_deterministic_and_bounded():
+    """Same photo_seed + view id -> identical corruption; output stays in
+    [0,1]; zero-strength knobs are an exact no-op."""
+    from sparf_tpu.datasets.synthetic import apply_photometric_perturbation
+
+    img = np.random.RandomState(3).rand(32, 40, 3).astype(np.float32)
+    a = apply_photometric_perturbation(
+        img, np.random.RandomState(42), exposure_jitter=0.3, wb_jitter=0.1,
+        noise_sigma=0.01, vignette=0.3)
+    b = apply_photometric_perturbation(
+        img, np.random.RandomState(42), exposure_jitter=0.3, wb_jitter=0.1,
+        noise_sigma=0.01, vignette=0.3)
+    np.testing.assert_array_equal(a, b)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    assert not np.allclose(a, img)
+    c = apply_photometric_perturbation(img, np.random.RandomState(0))
+    np.testing.assert_array_equal(c, img)
+
+
 def test_zncc_matcher_on_synthetic_views():
     """ZNCC matcher vs GT correspondences on two synthetic views.
 
