@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Train the JAX PDC-Net-style dense matcher on synthetic multi-view GT flow.
+
+The framework can render unlimited (image pair, exact GT correspondence map,
+occlusion mask) tuples from the analytic sphere scenes (VERDICT r2 #2). This
+script:
+
+  1. generates a pool of randomized two-view rigs (camera ring position,
+     baseline angle up to --max_angle rad, focal, texture octaves) with GT
+     correspondences from analytic depth (flow_net.gt_correspondences_for_pair);
+  2. trains pdcnet_jax with deep supervision at /8, /4, /2 + Laplacian-mixture
+     NLL for the confidence head, under photometric augmentation (per-view
+     exposure/color gain, bias, sensor noise, vignetting) so the learned
+     matcher is robust where the classical one is brittle;
+  3. evaluates median EPE-in-confident vs GT on the RESULTS.md ladder rungs
+     (angular_span 0.35 / 1.0, 3 views, 300x400);
+  4. saves sparf_tpu/data/pdcnet_synth.npz (with provenance) which the
+     PDCNet backend auto-loads (flow_net._resolve_backend).
+
+Usage: python scripts/train_pdcnet_synth.py [--steps 3000] [--pairs 240]
+       [--H 300 --W 400] [--out sparf_tpu/data/pdcnet_synth.npz] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def generate_pairs(rng: np.random.RandomState, n_pairs: int, H: int, W: int):
+    """Randomized two-view rigs over the analytic scene, with GT corres."""
+    from sparf_tpu.datasets import synthetic as syn
+    from sparf_tpu.models.flow_net import gt_correspondences_for_pair
+
+    imgs = np.zeros((n_pairs, 2, 3, H, W), np.float32)
+    corres = np.zeros((n_pairs, 2, H, W), np.float32)
+    valid = np.zeros((n_pairs, H, W), bool)
+    for i in range(n_pairs):
+        a0 = rng.uniform(-1.3, 1.3)
+        da = rng.uniform(0.06, 1.0) * rng.choice([-1.0, 1.0])
+        rad = syn.CAM_RADIUS * rng.uniform(0.85, 1.15)
+        focal = W * rng.uniform(0.75, 1.05)
+        octaves = rng.randint(1, 5)
+        intr = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+        views = []
+        for a, h in ((a0, rng.uniform(-0.3, 0.3)), (a0 + da, rng.uniform(-0.3, 0.3))):
+            eye = np.array([np.sin(a) * rad, h, -np.cos(a) * rad], np.float32)
+            pose = syn.look_at_pose_w2c(eye)
+            img, depth, fg = syn.render_view(pose, intr, H, W, octaves)
+            views.append((img, depth, fg, pose))
+        scene = dict(
+            image=np.stack([v[0].transpose(2, 0, 1) for v in views]),
+            depth_gt=np.stack([v[1] for v in views]),
+            valid_depth_gt=np.stack([v[2] for v in views]),
+            pose=np.stack([v[3] for v in views]),
+            intr=np.stack([intr, intr]),
+        )
+        cmap, mask = gt_correspondences_for_pair(scene, 0, 1)
+        imgs[i] = scene["image"]
+        corres[i] = cmap
+        valid[i] = mask
+        if (i + 1) % 40 == 0:
+            print(f"  generated {i + 1}/{n_pairs} pairs")
+    return imgs, corres, valid
+
+
+def photometric_aug(key, img):
+    """Per-view exposure/color gain + bias + sensor noise + vignetting."""
+    import jax
+    import jax.numpy as jnp
+
+    B, C, H, W = img.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    gain = jnp.exp(jax.random.uniform(k1, (B, 3, 1, 1), minval=-0.25, maxval=0.25))
+    bias = jax.random.uniform(k2, (B, 1, 1, 1), minval=-0.06, maxval=0.06)
+    noise = 0.012 * jax.random.normal(k3, img.shape)
+    yy = (jnp.arange(H) / (H - 1) - 0.5)[None, None, :, None]
+    xx = (jnp.arange(W) / (W - 1) - 0.5)[None, None, None, :]
+    r2 = (xx**2 + yy**2) / 0.5
+    vig_k = jax.random.uniform(k4, (B, 1, 1, 1), minval=0.0, maxval=0.35)
+    return jnp.clip(img * gain * (1 - vig_k * r2) + bias + noise, 0.0, 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--pairs", type=int, default=240)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--H", type=int, default=300)
+    ap.add_argument("--W", type=int, default=400)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--out", default="sparf_tpu/data/pdcnet_synth.npz")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--eval-only", default=None, help="npz to evaluate (skip training)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sparf_tpu.models import pdcnet_jax as P
+
+    if args.eval_only:
+        params = P.load_weights_npz(args.eval_only)
+    else:
+        print(f"generating {args.pairs} training pairs at {args.H}x{args.W} ...")
+        rng = np.random.RandomState(args.seed)
+        t0 = time.time()
+        imgs_np, corres_np, valid_np = generate_pairs(rng, args.pairs, args.H, args.W)
+        print(f"  done in {time.time() - t0:.0f}s")
+
+        imgs = jnp.asarray(imgs_np)
+        corres = jnp.asarray(corres_np)
+        valid = jnp.asarray(valid_np, jnp.float32)
+
+        params = P.init_params(jax.random.PRNGKey(args.seed))
+        sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+        ost = tx.init(params)
+
+        def loss_fn(params, batch_imgs, batch_corres, batch_valid, key):
+            k_t, k_s = jax.random.split(key)
+            tgt = photometric_aug(k_t, batch_imgs[:, 0])
+            src = photometric_aug(k_s, batch_imgs[:, 1])
+            out = P.forward(params, tgt, src)
+
+            total = 0.0
+            logs = {}
+            for lev, w_lev in ((8, 1.0), (4, 0.5), (2, 0.5)):
+                m = out["mapping"] if lev == 2 else out[f"mapping{lev}"]
+                B, _, h, w = m.shape
+                gt = jax.image.resize(batch_corres / lev, (B, 2, h, w), "bilinear")
+                v = jax.image.resize(batch_valid[:, None], (B, 1, h, w), "bilinear")
+                v = (v > 0.99).astype(jnp.float32)  # erode: no mixed-border supervision
+                err = jnp.linalg.norm(m - gt, axis=1, keepdims=True)
+                huber = jnp.where(err < 1.0, 0.5 * err**2, err - 0.5)
+                total = total + w_lev * jnp.sum(huber * v) / (jnp.sum(v) + 1.0)
+                if lev == 2:
+                    logs["epe2"] = jnp.sum(err * v) / (jnp.sum(v) + 1.0)
+                    # mixture NLL trains the confidence head (PDC-Net eq. 6)
+                    def nll(var):
+                        b = jnp.sqrt(jnp.maximum(var, 1e-6) / 2)
+                        return err / b + 2 * jnp.log(b)
+
+                    m_nll = -jnp.log(
+                        out["alpha"] * jnp.exp(-nll(jnp.exp(out["log_var_s"])))
+                        + (1 - out["alpha"]) * jnp.exp(-nll(jnp.exp(out["log_var_l"])))
+                        + 1e-9
+                    )
+                    total = total + 0.1 * jnp.sum(m_nll * v) / (jnp.sum(v) + 1.0)
+            return total, logs
+
+        @jax.jit
+        def step(params, ost, idx, key):
+            (l, logs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, imgs[idx], corres[idx], valid[idx], key
+            )
+            upd, ost = tx.update(g, ost, params)
+            return optax.apply_updates(params, upd), ost, l, logs
+
+        key = jax.random.PRNGKey(args.seed + 1)
+        t0 = time.time()
+        for it in range(args.steps):
+            key, k_idx, k_aug = jax.random.split(key, 3)
+            idx = jax.random.randint(k_idx, (args.batch,), 0, args.pairs)
+            params, ost, l, logs = step(params, ost, idx, k_aug)
+            if it % 200 == 0 or it == args.steps - 1:
+                print(f"step {it}: loss={float(l):.4f} "
+                      f"epe@/2={float(logs['epe2']):.3f}px "
+                      f"({(time.time() - t0):.0f}s)")
+
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        P.save_weights_npz(params, args.out)
+        # provenance inside the npz (same convention as lpips_selfsup.npz)
+        flat = dict(np.load(args.out))
+        flat["provenance"] = np.asarray(
+            f"trained in-session on {args.pairs} synthetic multi-view pairs "
+            f"({args.H}x{args.W}, analytic GT flow, photometric aug), "
+            f"steps={args.steps}, seed={args.seed}"
+        )
+        np.savez_compressed(args.out, **flat)
+        print(f"saved {args.out}")
+
+    # ---- ladder eval: median EPE over confident px vs GT, per rung
+    from sparf_tpu.datasets.synthetic import load_synthetic_scene
+    from sparf_tpu.models import flow_net as F
+
+    print("\n== ladder eval (median EPE in p_r>0.95, vs GT flow) ==")
+    for span in (0.35, 1.0):
+        sc = load_synthetic_scene(split="train", H=args.H, W=args.W, n_train=3,
+                                  n_test=1, angular_span=span, texture_octaves=2)
+        combi = F.get_combi_list(3, "all")
+        gt_corres, gt_conf = F.compute_gt_flow_of_combi_list(sc, combi)
+        c, conf = P.compute_pdcnet_flow_of_combi_list(
+            np.asarray(sc["image"]), combi, params=params
+        )
+        meds, fracs = [], []
+        for p in range(combi.shape[1]):
+            m = (conf[p, 0] > 0.95) & (gt_conf[p, 0] > 0.5)
+            if m.sum() < 10:
+                meds.append(np.inf)
+                fracs.append(0.0)
+                continue
+            err = np.linalg.norm(c[p] - gt_corres[p], axis=0)[m]
+            meds.append(float(np.median(err)))
+            fracs.append(float(m.mean()))
+        print(f"  span={span}: median-EPE per pair = "
+              f"{[round(x, 2) for x in meds]}, conf-frac = "
+              f"{[round(x, 2) for x in fracs]}")
+
+
+if __name__ == "__main__":
+    main()

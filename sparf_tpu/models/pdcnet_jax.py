@@ -47,7 +47,7 @@ def _conv_init(key, k, c_in, c_out):
 
 
 def init_params(key: Array) -> Dict[str, Any]:
-    keys = iter(jax.random.split(key, 32))
+    keys = iter(jax.random.split(key, 48))
     p: Dict[str, Any] = {}
     # feature pyramid: stride-2 conv + residual conv per level
     c_prev = 3
@@ -55,13 +55,15 @@ def init_params(key: Array) -> Dict[str, Any]:
         p[f"feat{li}_down"] = _conv_init(next(keys), 3, c_prev, c)
         p[f"feat{li}_res"] = _conv_init(next(keys), 3, c, c)
         c_prev = c
-    # coarse mapping decoder on the global correlation volume
-    p["map_dec0"] = _conv_init(next(keys), 3, 1, 64)   # applied on corr reshaped
-    # refinement decoder: input = [local corr ((2r+1)^2), feat_t, flow(2)]
-    d = (2 * LOCAL_RADIUS + 1) ** 2 + FEAT_CHANNELS[-1] + 2
-    p["ref_dec0"] = _conv_init(next(keys), 3, d, 96)
-    p["ref_dec1"] = _conv_init(next(keys), 3, 96, 64)
-    p["ref_flow"] = _conv_init(next(keys), 3, 64, 2)
+    # per-level refinement decoders (PWC-style warp + shifted cost volume):
+    # input = [local corr ((2r+1)^2), feat_t, flow(2)]; finest level also
+    # feeds the uncertainty head
+    n_corr = (2 * LOCAL_RADIUS + 1) ** 2
+    for lev, c in ((8, FEAT_CHANNELS[2]), (4, FEAT_CHANNELS[1]), (2, FEAT_CHANNELS[0])):
+        d = n_corr + c + 2
+        p[f"ref{lev}_dec0"] = _conv_init(next(keys), 3, d, 96)
+        p[f"ref{lev}_dec1"] = _conv_init(next(keys), 3, 96, 64)
+        p[f"ref{lev}_flow"] = _conv_init(next(keys), 3, 64, 2)
     # uncertainty head: predicts [log_var_small, log_var_large, logit_alpha]
     p["unc_dec0"] = _conv_init(next(keys), 3, 64, 32)
     p["unc_out"] = _conv_init(next(keys), 3, 32, 3)
@@ -138,55 +140,80 @@ def _bilinear_sample(f: Array, coords: Array) -> Array:
             + v10 * (1 - wx) * wy + v11 * wx * wy)
 
 
-def local_correlation(f_t: Array, f_s_warped_stack: List[Array]) -> Array:
+def shifted_correlation(f_t: Array, f_s_warped: Array, radius: int = LOCAL_RADIUS) -> Array:
+    """PWC-style cost volume: correlate f_t(x) with f_s_warped(x+d) for the
+    (2r+1)^2 integer displacements d, via zero-padded slicing — no gathers
+    (TPU gathers are serial; shifts are free data movement)."""
+    B, C, h, w = f_t.shape
     t = _l2norm(f_t)
+    s = _l2norm(f_s_warped)
+    s_pad = jnp.pad(s, ((0, 0), (0, 0), (radius, radius), (radius, radius)))
+    rows = []
+    for dy in range(2 * radius + 1):
+        for dx in range(2 * radius + 1):
+            rows.append(jnp.sum(t * s_pad[:, :, dy : dy + h, dx : dx + w],
+                                axis=1, keepdims=True))
+    return jnp.concatenate(rows, axis=1)  # (B,(2r+1)^2,h,w)
+
+
+def _identity_grid(B: int, h: int, w: int) -> Array:
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    yy = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
     return jnp.concatenate(
-        [jnp.sum(t * _l2norm(s), axis=1, keepdims=True) for s in f_s_warped_stack], axis=1
+        [jnp.broadcast_to(xx, (B, 1, h, w)), jnp.broadcast_to(yy, (B, 1, h, w))], axis=1
     )
+
+
+def _refine_level(params, lev: int, f_t: Array, f_s: Array, mapping: Array):
+    """One PWC refinement step at pyramid level `lev` (8/4/2). Returns
+    (mapping, decoder features) at that level's resolution."""
+    B, C, h, w = f_t.shape
+    f_s_warped = _bilinear_sample(f_s, mapping)
+    corr = shifted_correlation(f_t, f_s_warped)
+    flow = mapping - _identity_grid(B, h, w)
+    x = jnp.concatenate([corr, f_t, flow], axis=1)
+    x = jax.nn.relu(_conv(x, params[f"ref{lev}_dec0"]))
+    x = jax.nn.relu(_conv(x, params[f"ref{lev}_dec1"]))
+    delta = _conv(x, params[f"ref{lev}_flow"])
+    return mapping + delta, x
 
 
 def forward(params, img_t: Array, img_s: Array) -> Dict[str, Array]:
-    """Dense mapping target->source + p_r confidence at 1/8 resolution.
+    """Dense mapping target->source + p_r confidence at 1/2 resolution.
 
-    Returns {'mapping': (B,2,h,w) absolute source coords at /8,
-             'p_r': (B,1,h,w)} — upsample outside.
+    Coarse-to-fine: global-correlation soft-argmax at /8, then PWC-style
+    warp + shifted-cost-volume refinement at /8, /4 and /2 (the reference's
+    PDC-Net refines across its feature pyramid the same way; here the
+    decoders are small enough to train in-session).
+
+    Returns {'mapping': (B,2,h/2,w/2) absolute source coords at /2,
+             'p_r': (B,1,h/2,w/2), ...} — upsample x2 outside.
     """
     ft = extract_features(params, img_t)
     fs = extract_features(params, img_s)
-    f_t8, f_s8 = ft[-1], fs[-1]
-    B, C, h, w = f_t8.shape
 
-    # coarse soft mapping from global correlation
-    mapping = global_correlation_mapping(f_t8, f_s8)  # (B,2,h,w)
+    # coarse soft mapping from global correlation at /8
+    mapping8 = global_correlation_mapping(ft[2], fs[2])       # (B,2,h8,w8)
+    mapping8, _ = _refine_level(params, 8, ft[2], fs[2], mapping8)
 
-    # local refinement around the coarse mapping
-    warped = []
-    for dy in range(-LOCAL_RADIUS, LOCAL_RADIUS + 1):
-        for dx in range(-LOCAL_RADIUS, LOCAL_RADIUS + 1):
-            off = jnp.asarray([dx, dy], jnp.float32).reshape(1, 2, 1, 1)
-            warped.append(_bilinear_sample(f_s8, mapping + off))
-    corr = local_correlation(f_t8, warped)  # (B,(2r+1)^2,h,w)
+    B, _, h4, w4 = ft[1].shape
+    mapping4 = jax.image.resize(mapping8 * 2.0, (B, 2, h4, w4), "bilinear")
+    mapping4, _ = _refine_level(params, 4, ft[1], fs[1], mapping4)
 
-    xx = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
-    yy = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
-    flow = mapping - jnp.concatenate(
-        [jnp.broadcast_to(xx, (B, 1, h, w)), jnp.broadcast_to(yy, (B, 1, h, w))], axis=1
-    )
-    x = jnp.concatenate([corr, f_t8, flow], axis=1)
-    x = jax.nn.relu(_conv(x, params["ref_dec0"]))
-    x = jax.nn.relu(_conv(x, params["ref_dec1"]))
-    delta = _conv(x, params["ref_flow"])
-    mapping = mapping + delta
+    B, _, h2, w2 = ft[0].shape
+    mapping2 = jax.image.resize(mapping4 * 2.0, (B, 2, h2, w2), "bilinear")
+    mapping2, x2 = _refine_level(params, 2, ft[0], fs[0], mapping2)
 
-    # uncertainty: two-component Laplacian mixture (PDC-Net style)
-    u = jax.nn.relu(_conv(x, params["unc_dec0"]))
+    # uncertainty from the finest decoder: two-component Laplacian mixture
+    u = jax.nn.relu(_conv(x2, params["unc_dec0"]))
     u = _conv(u, params["unc_out"])
     log_var_s = jnp.clip(u[:, 0:1], -6.0, 4.0)
     log_var_l = jnp.clip(u[:, 1:2] + 2.0, -4.0, 8.0)
     alpha = jax.nn.sigmoid(u[:, 2:3])
     p_r = p_r_from_mixture(alpha, jnp.exp(log_var_s), jnp.exp(log_var_l), radius=1.0)
-    return dict(mapping=mapping, p_r=p_r, alpha=alpha,
-                log_var_s=log_var_s, log_var_l=log_var_l)
+    return dict(mapping=mapping2, p_r=p_r, alpha=alpha,
+                log_var_s=log_var_s, log_var_l=log_var_l,
+                mapping8=mapping8, mapping4=mapping4)
 
 
 def p_r_from_mixture(alpha: Array, var_s: Array, var_l: Array, radius: float = 1.0) -> Array:
@@ -272,16 +299,21 @@ def self_supervised_adapt(
     ost = tx.init(params)
 
     def loss_fn(params, key):
-        k_idx, k_h = jax.random.split(key)
+        k_idx, k_h, k_ph = jax.random.split(key, 3)
         idx = jax.random.randint(k_idx, (batch,), 0, N)
         tgt = imgs[idx]
         map_full = _random_homography_batch(k_h, batch, H, W)  # target->source
-        # source = target warped backwards: sample target at map_full
+        # source = target warped backwards: sample target at map_full; add
+        # photometric jitter so the matcher never learns exact-intensity cues
         src = _bilinear_sample(tgt, map_full)
+        k1, k2, k3 = jax.random.split(k_ph, 3)
+        gain = jnp.exp(jax.random.uniform(k1, (batch, 3, 1, 1), minval=-0.2, maxval=0.2))
+        bias = jax.random.uniform(k2, (batch, 1, 1, 1), minval=-0.05, maxval=0.05)
+        src = jnp.clip(src * gain + bias + 0.01 * jax.random.normal(k3, src.shape), 0, 1)
         out = forward(params, tgt, src)
-        # GT mapping at /8: average-pool coordinates, scale to /8 grid
-        h8, w8 = out["mapping"].shape[-2:]
-        gt = jax.image.resize(map_full / 8.0, (batch, 2, h8, w8), "bilinear")
+        # GT mapping at the final /2 level
+        h2, w2 = out["mapping"].shape[-2:]
+        gt = jax.image.resize(map_full / 2.0, (batch, 2, h2, w2), "bilinear")
         err = out["mapping"] - gt
         abs_err = jnp.linalg.norm(err, axis=1, keepdims=True)
         huber = jnp.where(abs_err < 1.0, 0.5 * abs_err**2, abs_err - 0.5)
@@ -329,7 +361,7 @@ def compute_pdcnet_flow_of_combi_list(
     corres_out, conf_out = [], []
     for t, s in combi_list.T:
         out = fwd(imgs[int(t)][None], imgs[int(s)][None])
-        mapping = jax.image.resize(out["mapping"] * 8.0, (1, 2, H, W), "bilinear")
+        mapping = jax.image.resize(out["mapping"] * 2.0, (1, 2, H, W), "bilinear")
         p_r = jax.image.resize(out["p_r"], (1, 1, H, W), "bilinear")
         corres_out.append(np.asarray(mapping[0]))
         conf_out.append(np.asarray(p_r[0]))

@@ -11,8 +11,9 @@ def test_forward_shapes():
     params = pdcnet_jax.init_params(jax.random.PRNGKey(0))
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 80))
     out = pdcnet_jax.forward(params, img, img)
-    assert out["mapping"].shape == (1, 2, 8, 10)
-    assert out["p_r"].shape == (1, 1, 8, 10)
+    # coarse-to-fine refinement ends at the /2 level
+    assert out["mapping"].shape == (1, 2, 32, 40)
+    assert out["p_r"].shape == (1, 1, 32, 40)
     p = np.asarray(out["p_r"])
     assert p.min() >= 0 and p.max() <= 1
 
@@ -23,7 +24,7 @@ def test_weights_roundtrip(tmp_path):
     pdcnet_jax.save_weights_npz(params, path)
     loaded = pdcnet_jax.load_weights_npz(path)
     assert set(loaded) == set(params)
-    np.testing.assert_allclose(loaded["ref_flow"][0], params["ref_flow"][0])
+    np.testing.assert_allclose(loaded["ref2_flow"][0], params["ref2_flow"][0])
 
 
 def test_identity_pair_soft_mapping():
@@ -56,8 +57,8 @@ def test_self_supervised_adaptation_improves():
         mapping_gt = pdcnet_jax._random_homography_batch(key, 1, 64, 80, max_shift=0.1)
         src = pdcnet_jax._bilinear_sample(imgs[:1], mapping_gt)
         out = pdcnet_jax.forward(params, imgs[:1], src)
-        gt8 = jax.image.resize(mapping_gt / 8.0, (1, 2, 8, 10), "bilinear")
-        return float(jnp.median(jnp.linalg.norm(out["mapping"] - gt8, axis=1)))
+        gt2 = jax.image.resize(mapping_gt / 2.0, (1, 2, 32, 40), "bilinear")
+        return float(jnp.median(jnp.linalg.norm(out["mapping"] - gt2, axis=1)))
 
     params = pdcnet_jax.init_params(jax.random.PRNGKey(0))
     err0 = eval_error(params)
