@@ -129,6 +129,25 @@ def run_mesh_audit(n: int) -> None:
         "reduce_scatter": hlo.count("reduce-scatter("),
         "collective_permute": hlo.count("collective-permute("),
     }
+    # collective payload bytes: parse the result shape of each collective op
+    # (feeds the PERF_NOTES multi-chip scaling model)
+    import re as re_mod
+
+    dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                   "pred": 1, "f64": 8, "s64": 8}
+    coll_bytes = {}
+    for kind in ("all-reduce", "all-gather", "reduce-scatter", "collective-permute"):
+        total = 0
+        for m in re_mod.finditer(
+            r"= (?:\()?([a-z0-9]+)\[([0-9,]*)\][^=]*? " + kind + r"\(", hlo
+        ):
+            dt, dims = m.group(1), m.group(2)
+            n_elem = 1
+            for d in dims.split(","):
+                if d:
+                    n_elem *= int(d)
+            total += n_elem * dtype_bytes.get(dt, 4)
+        coll_bytes[kind.replace("-", "_") + "_bytes"] = total
     rays = int(tr.cfg.nerf.rand_rays)
     shard = rays // n
     # per-device ray shard: the photometric ray batch f32[rand_rays/n, ...]
@@ -151,6 +170,7 @@ def run_mesh_audit(n: int) -> None:
                                sum(coll.values()) > 0) else 0.0,
         "detail": {
             "collectives_per_step": coll,
+            "collective_payload": coll_bytes,
             "rays_per_device": shard,
             "shard_shape_found": bool(shard_ok),
             "loss_sharded": loss_sharded,
