@@ -1,0 +1,53 @@
+#!/bin/bash
+# Reproduce the RESULTS.md headline + control rows and preserve auditable
+# artifacts in-tree (VERDICT r2 "evidence discipline"): for each row, the
+# training log, eval JSON and options.yaml are copied to results/<row>/.
+# Rows run sequentially — ONE TPU job at a time (axon serializes the chip).
+#
+# Usage: bash scripts/run_evidence.sh [rows...]   (default: all four)
+set -u
+cd "$(dirname "$0")/.."
+WS=workspace/evidence
+OUT=results
+SYN='--synthetic={"H":300,"W":400,"n_train":3,"n_test":1,"texture_octaves":3,"angular_span":0.35}'
+
+run_row() {
+  local row=$1; shift
+  local module=$1; shift
+  local name=$1; shift
+  echo "=== row: $row ($(date -u +%H:%M:%S)) ==="
+  rm -rf "$WS/$row"
+  timeout 7200 python run_trainval.py "$module" "$name" --scene spheres \
+    --workspace_dir "$WS/$row" "$@" > "/tmp/evidence_$row.log" 2>&1
+  local rc=$?
+  mkdir -p "$OUT/$row"
+  local proj="$WS/$row/$module/$name/spheres"
+  cp "$proj/train.log" "$OUT/$row/train.log" 2>/dev/null
+  cp "$proj/options.yaml" "$OUT/$row/options.yaml" 2>/dev/null
+  # evaluate_full writes <eval_dir>/<project>/<expname>.json
+  find "$WS/$row/eval" -name '*.json' -exec cp {} "$OUT/$row/eval.json" \; 2>/dev/null
+  echo "row $row rc=$rc; artifacts: $(ls $OUT/$row 2>/dev/null | tr '\n' ' ')"
+}
+
+for row in "${@:-headline static_pools barf sfm_init}"; do
+  case $row in
+    headline)
+      run_row headline joint_pose_nerf_training/synthetic sparf "$SYN" \
+        --use_gt_correspondences=false --min_nbr_matches=100 \
+        --max_iter=15000 --rematch_at_ratio=0.15 ;;
+    static_pools)
+      run_row static_pools joint_pose_nerf_training/synthetic sparf "$SYN" \
+        --use_gt_correspondences=false --min_nbr_matches=100 \
+        --max_iter=15000 ;;
+    barf)
+      run_row barf joint_pose_nerf_training/synthetic barf "$SYN" \
+        --camera.initial_pose=noisy_gt --camera.noise=0.15 --max_iter=15000 ;;
+    sfm_init)
+      run_row sfm_init nerf_fixed_noisy_poses/synthetic sparf \
+        '--synthetic={"H":300,"W":400,"n_train":4,"n_test":1,"texture_octaves":3,"angular_span":0.35}' \
+        --use_gt_correspondences=false --min_nbr_matches=100 \
+        --camera.initial_pose=sfm_pdcnet --max_iter=8000 ;;
+    *) echo "unknown row $row" ;;
+  esac
+done
+echo "=== all rows done ($(date -u +%H:%M:%S)) ==="

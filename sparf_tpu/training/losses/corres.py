@@ -290,7 +290,7 @@ def make_corres_loss_builder(trainer):
         def builder(nerf_params, poses_w2c, key, iteration, progress):
             from sparf_tpu.parallel import mesh as mesh_mod
 
-            k_pair, k_sub, k_r1 = jax.random.split(key, 3)
+            k_pair, k_sub, k_r1, k_r2 = jax.random.split(key, 4)
             p = jax.random.randint(k_pair, (), 0, n_pairs)
             count = pools["pool_count"][p]
             idx = jax.random.randint(k_sub, (N,), 0, 2**31 - 1) % count
@@ -306,17 +306,22 @@ def make_corres_loss_builder(trainer):
             intr_self = jnp.take(scene["intr"], id_self, axis=0)[None]
             intr_other = jnp.take(scene["intr"], id_other, axis=0)[None]
 
-            # both directions as ONE render over the batch axis (B=2): the
-            # two small per-direction renders ran at ~27% MXU efficiency
-            # (measured); stacking halves the per-call fixed cost
-            (ret,) = yield [renderer_mod.RayBundle(
-                pixels=jnp.stack([pix_self, pix_other]),            # (2,N,2)
-                pose_w2c=jnp.concatenate([pose_self, pose_other]),  # (2,3,4)
-                intr=jnp.concatenate([intr_self, intr_other]),
-                key=k_r1, stratified=True,
-            )]
-            ret_self = {k: v[0:1] for k, v in ret.items()}
-            ret_other = {k: v[1:2] for k, v in ret.items()}
+            # two per-direction renders (reference corres_loss.py:181-219
+            # renders each view separately too). A round-2 variant stacked
+            # both directions into one B=2 render claiming better MXU
+            # efficiency; the A/B (PERF_NOTES round-3 findings) measured
+            # batched 14.21 vs split 14.50 it/s weighted — no gain, so the
+            # simpler form with independent stratified jitter stays.
+            ret_self, ret_other = yield [
+                renderer_mod.RayBundle(
+                    pixels=pix_self[None], pose_w2c=pose_self,
+                    intr=intr_self, key=k_r1, stratified=True,
+                ),
+                renderer_mod.RayBundle(
+                    pixels=pix_other[None], pose_w2c=pose_other,
+                    intr=intr_other, key=k_r2, stratified=True,
+                ),
+            ]
 
             T_s2o = geometry.pose_to_T4x4(
                 camera.pose_compose_pair(camera.pose_invert(pose_self), pose_other)
