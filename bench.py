@@ -61,14 +61,19 @@ def build_trainer(tiny: bool):
     return PoseAndNerfTrainerPerScene(cfg, workspace=ws)
 
 
-def run_mesh_audit(n: int) -> None:
+def run_mesh_audit(n: int, full: bool = False) -> None:
     """--mesh N: SPMD audit on an N-device virtual CPU mesh.
 
     Verifies (1) the per-device ray shard shapes in the compiled step,
     (2) the cross-device collectives XLA inserted, and (3) numerical
     equivalence of the sharded step vs the unsharded one (same seed).
-    Prints ONE JSON line. Runs itself in a child process with the CPU
-    platform + device count forced (the session env pins one real TPU)."""
+    With --mesh_full, audits the REAL DTU workload shape (300x400, 8x256
+    MLP, 1024 rays, 128+128 samples) and both schedule stages, reporting
+    collective payload bytes for the PERF_NOTES scaling model (execution
+    is skipped — CPU would take minutes; compile-only is enough for the
+    communication profile). Prints ONE JSON line. Runs itself in a child
+    process with the CPU platform + device count forced (the session env
+    pins one real TPU)."""
     import os
     import subprocess
 
@@ -81,9 +86,10 @@ def run_mesh_audit(n: int) -> None:
             flags = (flags + f" --xla_force_host_platform_device_count={n}").strip()
         env["XLA_FLAGS"] = flags
         env["_SPARF_BENCH_MESH_CHILD"] = "1"
-        rc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--mesh", str(n)], env=env
-        ).returncode
+        cmd = [sys.executable, os.path.abspath(__file__), "--mesh", str(n)]
+        if full:
+            cmd.append("--mesh_full")
+        rc = subprocess.run(cmd, env=env).returncode
         sys.exit(rc)
 
     import jax
@@ -102,24 +108,35 @@ def run_mesh_audit(n: int) -> None:
         from sparf_tpu.training.joint_trainer import PoseAndNerfTrainerPerScene
 
         cfg = PRESETS["joint_pose_nerf_training/synthetic/sparf"]()
-        cfg = override_options(cfg, ConfigDict(
-            env=ConfigDict(), scene="spheres", max_iter=1000,
-            synthetic=dict(H=24, W=32, n_train=3, n_test=1),
-            arch=dict(layers_feat=[None, 64, 64, 64, 64],
-                      layers_rgb=[None, 32, 3], skip=[2]),
-            nerf=ConfigDict(sample_intvs=32, sample_intvs_fine=16,
-                            rand_rays=16 * n),
-            depth_cons_nbr_rays=16 * n,
-            min_nbr_matches=50, use_gt_correspondences=True,
-            tpu=ConfigDict(mesh_shape=[mesh_n] if mesh_n else None,
-                           donate_state=False),
-        ))
+        if full:
+            over = ConfigDict(
+                env=ConfigDict(), scene="spheres", max_iter=1000,
+                synthetic=dict(H=300, W=400, n_train=3, n_test=1),
+                min_nbr_matches=50, use_gt_correspondences=True,
+                tpu=ConfigDict(mesh_shape=[mesh_n] if mesh_n else None,
+                               donate_state=False),
+            )
+        else:
+            over = ConfigDict(
+                env=ConfigDict(), scene="spheres", max_iter=1000,
+                synthetic=dict(H=24, W=32, n_train=3, n_test=1),
+                arch=dict(layers_feat=[None, 64, 64, 64, 64],
+                          layers_rgb=[None, 32, 3], skip=[2]),
+                nerf=ConfigDict(sample_intvs=32, sample_intvs_fine=16,
+                                rand_rays=16 * n),
+                depth_cons_nbr_rays=16 * n,
+                min_nbr_matches=50, use_gt_correspondences=True,
+                tpu=ConfigDict(mesh_shape=[mesh_n] if mesh_n else None,
+                               donate_state=False),
+            )
+        cfg = override_options(cfg, over)
         mesh_mod.set_active_mesh(None)
         return PoseAndNerfTrainerPerScene(cfg, workspace=tempfile.mkdtemp())
 
     # sharded trainer: compile the joint-stage step, audit HLO
     tr = one_trainer(n)
-    step = tr.get_step(0)
+    stage_iter = 0 if not full else int(tr.cfg.max_iter * 0.35)  # fine stage
+    step = tr.get_step(stage_iter)
     lowered = jax.jit(lambda s: step(s)).lower(tr.state)
     compiled = lowered.compile()
     hlo = compiled.as_text()
@@ -152,15 +169,21 @@ def run_mesh_audit(n: int) -> None:
     shard = rays // n
     # per-device ray shard: the photometric ray batch f32[rand_rays/n, ...]
     shard_ok = f"f32[{shard}," in hlo or f"f32[1,{shard}," in hlo
-    state1, stats1 = step(tr.state)
-    loss_sharded = float(np.asarray(stats1["all"]))
+    if full:
+        # compile-only: the communication profile is what we're after; one
+        # DTU-shape step on 8 virtual CPU devices would take minutes, and
+        # the tiny audit already proves sharded==unsharded numerics
+        loss_sharded = loss_ref = diff = 0.0
+    else:
+        state1, stats1 = step(tr.state)
+        loss_sharded = float(np.asarray(stats1["all"]))
 
-    # unsharded reference, same seed/config
-    tr0 = one_trainer(None)
-    step0 = tr0.get_step(0)
-    _, stats0 = step0(tr0.state)
-    loss_ref = float(np.asarray(stats0["all"]))
-    diff = abs(loss_sharded - loss_ref)
+        # unsharded reference, same seed/config
+        tr0 = one_trainer(None)
+        step0 = tr0.get_step(0)
+        _, stats0 = step0(tr0.state)
+        loss_ref = float(np.asarray(stats0["all"]))
+        diff = abs(loss_sharded - loss_ref)
 
     result = {
         "metric": "sparf_mesh_audit",
@@ -177,6 +200,8 @@ def run_mesh_audit(n: int) -> None:
             "loss_unsharded": loss_ref,
             "abs_diff": diff,
             "devices": jax.device_count(),
+            "full_workload": bool(full),
+            "stage": "fine" if full else "joint",
         },
     }
     print(json.dumps(result))
@@ -189,12 +214,14 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--mesh", type=int, default=0,
                         help="SPMD audit on an N-device virtual CPU mesh")
+    parser.add_argument("--mesh_full", action="store_true",
+                        help="audit the full DTU workload shape (compile-only)")
     parser.add_argument("--no-merge", action="store_true",
                         help="disable merged multi-loss rendering (A/B)")
     args = parser.parse_args()
 
     if args.mesh:
-        run_mesh_audit(args.mesh)
+        run_mesh_audit(args.mesh, full=args.mesh_full)
         return
 
     import jax
