@@ -29,7 +29,9 @@ run_row() {
   echo "row $row rc=$rc; artifacts: $(ls $OUT/$row 2>/dev/null | tr '\n' ' ')"
 }
 
-for row in "${@:-headline static_pools barf sfm_init}"; do
+rows=("$@")
+[ ${#rows[@]} -eq 0 ] && rows=(headline static_pools barf sfm_init)
+for row in "${rows[@]}"; do
   case $row in
     headline)
       run_row headline joint_pose_nerf_training/synthetic sparf "$SYN" \
