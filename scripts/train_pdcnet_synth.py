@@ -98,6 +98,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--eval-only", default=None, help="npz to evaluate (skip training)")
+    ap.add_argument("--data_cache", default=None,
+                    help="npz path for the generated pair set: loaded if it "
+                         "exists, else generated and saved (generation is "
+                         "host-side numpy and slow on this 1-core machine)")
+    ap.add_argument("--gen_only", action="store_true",
+                    help="generate + save the pair cache, then exit")
     args = ap.parse_args()
 
     if args.cpu:
@@ -114,11 +120,26 @@ def main():
     if args.eval_only:
         params = P.load_weights_npz(args.eval_only)
     else:
-        print(f"generating {args.pairs} training pairs at {args.H}x{args.W} ...")
-        rng = np.random.RandomState(args.seed)
-        t0 = time.time()
-        imgs_np, corres_np, valid_np = generate_pairs(rng, args.pairs, args.H, args.W)
-        print(f"  done in {time.time() - t0:.0f}s")
+        if args.data_cache and os.path.exists(args.data_cache):
+            print(f"loading pair cache {args.data_cache}")
+            d = np.load(args.data_cache)
+            imgs_np, corres_np, valid_np = d["imgs"], d["corres"], d["valid"]
+            assert imgs_np.shape[0] >= args.pairs, "cache smaller than --pairs"
+            imgs_np, corres_np, valid_np = (
+                imgs_np[: args.pairs], corres_np[: args.pairs], valid_np[: args.pairs]
+            )
+        else:
+            print(f"generating {args.pairs} training pairs at {args.H}x{args.W} ...")
+            rng = np.random.RandomState(args.seed)
+            t0 = time.time()
+            imgs_np, corres_np, valid_np = generate_pairs(rng, args.pairs, args.H, args.W)
+            print(f"  done in {time.time() - t0:.0f}s")
+            if args.data_cache:
+                np.savez_compressed(args.data_cache, imgs=imgs_np,
+                                    corres=corres_np, valid=valid_np)
+                print(f"saved pair cache {args.data_cache}")
+        if args.gen_only:
+            return
 
         imgs = jnp.asarray(imgs_np)
         corres = jnp.asarray(corres_np)
