@@ -104,6 +104,8 @@ def main():
                          "host-side numpy and slow on this 1-core machine)")
     ap.add_argument("--gen_only", action="store_true",
                     help="generate + save the pair cache, then exit")
+    ap.add_argument("--init_from", default=None,
+                    help="warm-start weights npz (e.g. a lower-resolution run)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -145,7 +147,11 @@ def main():
         corres = jnp.asarray(corres_np)
         valid = jnp.asarray(valid_np, jnp.float32)
 
-        params = P.init_params(jax.random.PRNGKey(args.seed))
+        if args.init_from:
+            print(f"warm-starting from {args.init_from}")
+            params = P.load_weights_npz(args.init_from)
+        else:
+            params = P.init_params(jax.random.PRNGKey(args.seed))
         sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
         ost = tx.init(params)

@@ -237,6 +237,8 @@ def load_weights_npz(path: str) -> Dict[str, Any]:
     data = np.load(path)
     params: Dict[str, Any] = {}
     for key in data.files:
+        if "__" not in key:  # metadata (e.g. 'provenance'), not a parameter
+            continue
         name, idx = key.rsplit("__", 1)
         params.setdefault(name, [None, None])[int(idx)] = jnp.asarray(data[key])
     return params
