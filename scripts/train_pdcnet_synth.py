@@ -205,7 +205,9 @@ def main():
             if it % 200 == 0 or it == args.steps - 1:
                 print(f"step {it}: loss={float(l):.4f} "
                       f"epe@/2={float(logs['epe2']):.3f}px "
-                      f"({(time.time() - t0):.0f}s)")
+                      f"({(time.time() - t0):.0f}s)", flush=True)
+            if it and it % 400 == 0:
+                P.save_weights_npz(params, args.out + f".step{it}")
 
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         P.save_weights_npz(params, args.out)
