@@ -143,9 +143,11 @@ def main():
         if args.gen_only:
             return
 
-        imgs = jnp.asarray(imgs_np)
+        # keep the pair pool on device as uint8 (4x less tunnel transfer +
+        # HBM); converted back to f32 per sampled batch inside the jitted step
+        imgs = jnp.asarray(np.clip(imgs_np * 255.0 + 0.5, 0, 255).astype(np.uint8))
         corres = jnp.asarray(corres_np)
-        valid = jnp.asarray(valid_np, jnp.float32)
+        valid = jnp.asarray(valid_np)  # bool on device; f32 per batch in-step
 
         if args.init_from:
             print(f"warm-starting from {args.init_from}")
@@ -188,24 +190,44 @@ def main():
                     total = total + 0.1 * jnp.sum(m_nll * v) / (jnp.sum(v) + 1.0)
             return total, logs
 
-        @jax.jit
-        def step(params, ost, idx, key):
-            (l, logs), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, imgs[idx], corres[idx], valid[idx], key
-            )
-            upd, ost = tx.update(g, ost, params)
-            return optax.apply_updates(params, upd), ost, l, logs
+        # everything (RNG, batch indexing, the update) lives INSIDE one jitted
+        # scan over a chunk of steps: host<->device round-trips through the
+        # axon tunnel cost ~100ms each, so per-step host-side jax.random calls
+        # would dominate (PERF_NOTES operational gotchas)
+        base_key = jax.random.PRNGKey(args.seed + 1)
 
-        key = jax.random.PRNGKey(args.seed + 1)
+        # the pair pool MUST be a jit ARGUMENT, not a closure: closed-over
+        # arrays are embedded as HLO constants, and the axon remote-compile
+        # request then exceeds the server's body limit (HTTP 413) at ~400MB
+        @jax.jit
+        def run_chunk(params, ost, it0, imgs, corres, valid):
+            def one_step(carry, it):
+                params, ost = carry
+                k = jax.random.fold_in(base_key, it)
+                k_idx, k_aug = jax.random.split(k)
+                idx = jax.random.randint(k_idx, (args.batch,), 0, args.pairs)
+                batch_imgs = imgs[idx].astype(jnp.float32) / 255.0
+                (l, logs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch_imgs, corres[idx],
+                    valid[idx].astype(jnp.float32), k_aug
+                )
+                upd, ost = tx.update(g, ost, params)
+                return (optax.apply_updates(params, upd), ost), (l, logs["epe2"])
+
+            (params, ost), (ls, epes) = jax.lax.scan(
+                one_step, (params, ost), it0 + jnp.arange(100)
+            )
+            return params, ost, ls[-1], epes[-1]
+
+        chunk = 100
         t0 = time.time()
-        for it in range(args.steps):
-            key, k_idx, k_aug = jax.random.split(key, 3)
-            idx = jax.random.randint(k_idx, (args.batch,), 0, args.pairs)
-            params, ost, l, logs = step(params, ost, idx, k_aug)
-            if it % 200 == 0 or it == args.steps - 1:
-                print(f"step {it}: loss={float(l):.4f} "
-                      f"epe@/2={float(logs['epe2']):.3f}px "
-                      f"({(time.time() - t0):.0f}s)", flush=True)
+        for it in range(0, args.steps, chunk):
+            params, ost, l, epe2 = run_chunk(
+                params, ost, jnp.asarray(it), imgs, corres, valid
+            )
+            print(f"step {it + chunk - 1}: loss={float(l):.4f} "
+                  f"epe@/2={float(epe2):.3f}px "
+                  f"({(time.time() - t0):.0f}s)", flush=True)
             if it and it % 400 == 0:
                 P.save_weights_npz(params, args.out + f".step{it}")
 

@@ -118,7 +118,10 @@ def build_correspondence_pools(cfg, scene_np, logger=None,
     ]
     if logger:
         logger.info(
-            f"correspondence precompute [{backend}]: {combi_list.shape[1]} pairs, "
+            # log the RESOLVED backend (what actually ran), not the request —
+            # a PDCNet request can fall back to the classical matcher
+            f"correspondence precompute [{wrapper._resolve_backend()}]: "
+            f"{combi_list.shape[1]} pairs, "
             f"{len(kept)} kept (>{min_nbr_matches} confident px)"
         )
     if not kept:
