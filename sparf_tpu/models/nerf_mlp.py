@@ -193,11 +193,22 @@ def nerf_apply(
     """
     dtype = cfg.compute_dtype
     batch_shape = pts.shape[:-1]  # (B,R,S)
+
+    def _flat2d(x):
+        return x.reshape(-1, x.shape[-1])
+
+    def _unflat(x, trailing=()):
+        return x.reshape(*batch_shape, *trailing)
+
     pts_enc = encode_points(cfg, pts, progress)
     # flatten to 2-D for the matmul chain: with >2-D operands XLA lowers the
     # backward dW = acts^T @ grads contractions to kLoop VPU fusions instead
-    # of MXU GEMMs (measured ~2.5x slowdown of render+grad; see PERF_NOTES.md)
-    pts_enc = pts_enc.reshape(-1, pts_enc.shape[-1])
+    # of MXU GEMMs (measured ~2.5x slowdown of render+grad; see PERF_NOTES.md).
+    # NOTE this merge puts the SPMD-sharded ray axis in the middle of the
+    # merge group, which GSPMD cannot partition — under a mesh the renderer
+    # wraps this whole function in shard_map (renderer.forward_samples), so
+    # here every shape is already shard-local and the reshape is free.
+    pts_enc = _flat2d(pts_enc)
 
     feat = pts_enc
     n = len(params["feat"])
@@ -211,7 +222,7 @@ def nerf_apply(
             feat = feat[..., 1:]
         feat = jax.nn.relu(feat)
 
-    raw_density = raw_density.reshape(batch_shape)
+    raw_density = _unflat(raw_density)
     if density_noise_key is not None and cfg.density_noise_reg:
         raw_density = raw_density + (
             jax.random.normal(density_noise_key, raw_density.shape) * cfg.density_noise_reg
@@ -222,14 +233,14 @@ def nerf_apply(
         ray_unit = ray / (jnp.linalg.norm(ray, axis=-1, keepdims=True) + 1e-12)
         ray_enc = encode_views(cfg, ray_unit, progress)
         ray_enc = jnp.broadcast_to(ray_enc[..., None, :], (*batch_shape, ray_enc.shape[-1]))
-        feat = jnp.concatenate([feat, ray_enc.reshape(-1, ray_enc.shape[-1])], axis=-1)
+        feat = jnp.concatenate([feat, _flat2d(ray_enc)], axis=-1)
 
     m = len(params["rgb"])
     for li, (W, b) in enumerate(params["rgb"]):
         feat = _linear(feat, W, b, dtype)
         if li != m - 1:
             feat = jax.nn.relu(feat)
-    rgb = jax.nn.sigmoid(feat).reshape(*batch_shape, 3)
+    rgb = _unflat(jax.nn.sigmoid(feat), trailing=(3,))
     return dict(rgb_samples=rgb, density_samples=density)
 
 

@@ -202,8 +202,74 @@ def forward_samples(
     mlp_cfg: Optional[MLPConfig] = None,
 ) -> Dict[str, Array]:
     """Points from depths -> MLP (frequency_nerf.py:260-281)."""
+    from sparf_tpu.parallel import mesh as mesh_mod
+
     pts = camera.get_3d_points_from_depth(center, ray, depth_samples, multi_samples=True)
-    return _FORWARD_IMPL[impl](params, mlp_cfg or cfg.mlp, pts, ray, progress, density_noise_key)
+    fwd = _FORWARD_IMPL[impl]
+    mcfg = mlp_cfg or cfg.mlp
+    mesh = mesh_mod.active_mesh()
+    if mesh is not None and pts.ndim == 4:
+        return _forward_samples_sharded(
+            fwd, params, mcfg, pts, ray, progress, density_noise_key, mesh
+        )
+    return fwd(params, mcfg, pts, ray, progress, density_noise_key)
+
+
+def _forward_samples_sharded(fwd, params, mcfg, pts, ray, progress,
+                             density_noise_key, mesh):
+    """Run the MLP shard-local over the ray axis via shard_map.
+
+    The MLP is pointwise over rays, but its flatten-to-2D (nerf_mlp.nerf_apply
+    / ops.fused_mlp_vjp) merges (B, R_sharded, S) with the sharded dim mid-
+    group — GSPMD cannot partition that and falls back to all-gathering every
+    per-sample field around the matmul chain (measured 244 MB/step at the DTU
+    shape; PERF_NOTES scaling model). shard_map makes the partitioning
+    explicit instead: params replicated in, rays sharded in/out, zero
+    collectives inside; the backward pass psums the replicated-param grads
+    automatically (one parameter-sized all-reduce, ~2.4 MB).
+
+    Rays are padded to a mesh multiple with trailing copies (shard-local,
+    <1% waste) and the outputs sliced back — real-ray results bit-identical.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    B, R, S = pts.shape[:3]
+    n = mesh.devices.size
+    Rp = -(-R // n) * n
+    if Rp != R:
+        pad = Rp - R
+        pts = jnp.concatenate([pts, pts[:, -pad:]], axis=1)
+        ray = jnp.concatenate([ray, ray[:, -pad:]], axis=1)
+
+    ray_spec4 = P(None, "data", None, None)
+    ray_spec3 = P(None, "data", None)
+    out_specs = dict(rgb_samples=ray_spec4, density_samples=ray_spec3)
+
+    if density_noise_key is None:
+        def f(p, pts_l, ray_l, prog):
+            return fwd(p, mcfg, pts_l, ray_l, prog, None)
+
+        out = shard_map(
+            f, mesh=mesh, in_specs=(P(), ray_spec4, ray_spec3, P()),
+            out_specs=out_specs,
+        )(params, pts, ray, progress)
+    else:
+        # per-shard independent noise stream (fold in the shard index). The
+        # regularizer's noise DRAW differs from the unsharded run — density
+        # noise is off in every preset; documented SPMD deviation.
+        def f(p, pts_l, ray_l, prog, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            return fwd(p, mcfg, pts_l, ray_l, prog, key)
+
+        out = shard_map(
+            f, mesh=mesh, in_specs=(P(), ray_spec4, ray_spec3, P(), P()),
+            out_specs=out_specs,
+        )(params, pts, ray, progress, density_noise_key)
+
+    if Rp != R:
+        out = {k: v[:, :R] for k, v in out.items()}
+    return out
 
 
 # ---------------------------------------------------------------------------
