@@ -174,6 +174,11 @@ def get_nerf_default_config_llff() -> ConfigDict:
     cfg.flow_ckpt_path = None
     cfg.use_homography_flow = False
     cfg.flow_batch_size = 5
+    # sparf_tpu addition: pipe the learned backend's flows through the
+    # mini-SfM + plane-sweep geometry stage (epipolar-consistent pools;
+    # projects out the learned net's per-pair coherent bias). Off -> raw
+    # PDC-Net flows as in the reference.
+    cfg.pdcnet_geometry_refine = True
 
     cfg.renderrepro_do_pixel_reprojection_check = False
     cfg.renderrepro_do_depth_reprojection_check = False

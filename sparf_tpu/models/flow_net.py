@@ -429,6 +429,118 @@ def _match_pair_pyramid(img_t: Array, img_s: Array, n_levels: int, patch: int = 
 
 
 # ---------------------------------------------------------------------------
+# homography pre-alignment (reference PDC-Net's homography inference branch:
+# estimate a global homography from confident matches, warp the source onto
+# the target, re-match the ALIGNED pair, compose). For wide-baseline pairs a
+# single plane explains most of the apparent motion, which puts the re-match
+# into the near-identity regime where the discrete ZNCC argmax is exact
+# (see the LK note above). Implemented as IRLS-weighted normalized DLT —
+# fixed iteration count, static shapes, one 9x9 eigendecomposition; no
+# RANSAC-style dynamic control flow (XLA-friendly).
+# ---------------------------------------------------------------------------
+
+
+def _apply_homography(Hm: Array, pts: Array) -> Array:
+    """Hm (3,3) applied to pixel points (...,2) -> (...,2)."""
+    x, y = pts[..., 0], pts[..., 1]
+    d = Hm[2, 0] * x + Hm[2, 1] * y + Hm[2, 2]
+    d = jnp.where(jnp.abs(d) < 1e-8, jnp.where(d < 0, -1e-8, 1e-8), d)
+    u = (Hm[0, 0] * x + Hm[0, 1] * y + Hm[0, 2]) / d
+    v = (Hm[1, 0] * x + Hm[1, 1] * y + Hm[1, 2]) / d
+    return jnp.stack([u, v], -1)
+
+
+def _fit_homography_weighted(corres: Array, weights: Array, n_irls: int = 5) -> Array:
+    """Robust global homography target->source from a dense flow field.
+
+    corres (H,W,2): source coords for every target pixel; weights (H,W) >= 0.
+    Normalized DLT solved as the smallest eigenvector of the 9x9 weighted
+    normal matrix, re-weighted n_irls times with a Geman-McClure kernel whose
+    scale tracks the weighted median residual. Out-of-bounds correspondences
+    are zero-weighted up front.
+    """
+    H, W = corres.shape[:2]
+    xx, yy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                          jnp.arange(H, dtype=jnp.float32))
+    src = jnp.stack([xx, yy], -1).reshape(-1, 2)
+    dst = corres.reshape(-1, 2)
+    w0 = jnp.clip(weights.reshape(-1), 0.0, None)
+    inb = ((dst[:, 0] >= 0) & (dst[:, 0] <= W - 1)
+           & (dst[:, 1] >= 0) & (dst[:, 1] <= H - 1))
+    w0 = w0 * inb
+
+    # Hartley-style conditioning from the (static) image dims
+    s = 2.0 / jnp.float32(max(H, W))
+    T = jnp.array([[s, 0, -s * (W - 1) / 2], [0, s, -s * (H - 1) / 2], [0, 0, 1]],
+                  jnp.float32)
+    Tinv = jnp.array([[1 / s, 0, (W - 1) / 2], [0, 1 / s, (H - 1) / 2], [0, 0, 1]],
+                     jnp.float32)
+    sn = (src - jnp.array([(W - 1) / 2, (H - 1) / 2])) * s
+    dn = (dst - jnp.array([(W - 1) / 2, (H - 1) / 2])) * s
+
+    one = jnp.ones_like(sn[:, :1])
+    zero = jnp.zeros_like(sn)
+    p = jnp.concatenate([sn, one], -1)  # (N,3)
+    # two DLT rows per point: [p 0 -u*p], [0 p -v*p]
+    r1 = jnp.concatenate([p, jnp.concatenate([zero, one * 0], -1),
+                          -dn[:, :1] * p], -1)
+    r2 = jnp.concatenate([jnp.concatenate([zero, one * 0], -1), p,
+                          -dn[:, 1:2] * p], -1)
+
+    def solve(w):
+        A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], 0)  # (2N,9)
+        M = A.T @ A
+        _, vecs = jnp.linalg.eigh(M)
+        h = vecs[:, 0]
+        Hn = h.reshape(3, 3)
+        return Tinv @ Hn @ T
+
+    w = jnp.sqrt(w0)
+    Hm = solve(w)
+    for _ in range(n_irls):
+        res = jnp.linalg.norm(_apply_homography(Hm, src) - dst, axis=-1)
+        med = jnp.median(jnp.where(w0 > 0, res, jnp.nan))
+        med = jnp.nan_to_num(med, nan=1.0)
+        sigma2 = jnp.maximum(1.4826 * med, 0.5) ** 2
+        w = jnp.sqrt(w0) * sigma2 / (sigma2 + res ** 2)  # Geman-McClure
+        Hm = solve(w)
+    return Hm / jnp.where(jnp.abs(Hm[2, 2]) < 1e-8, 1.0, Hm[2, 2])
+
+
+def _warp_image_by_homography(img: Array, Hm: Array) -> Array:
+    """(C,H,W) source resampled so warped(u) = img(H(u)) for target pixels u."""
+    C, H, W = img.shape
+    xx, yy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                          jnp.arange(H, dtype=jnp.float32))
+    sp = _apply_homography(Hm, jnp.stack([xx, yy], -1))
+    return _bilinear_at(img, sp[..., 0], sp[..., 1]).reshape(C, H, W)
+
+
+def _match_pair_pyramid_homog(img_t: Array, img_s: Array, n_levels: int,
+                              patch: int = 7):
+    """_match_pair_pyramid + homography pre-alignment, raced per pixel.
+
+    Fits a robust global homography to the plain pyramid result, re-matches
+    the target against the homography-warped source (near-identity regime),
+    composes, and keeps whichever of the two estimates scores the higher
+    final ZNCC at each pixel. Degenerate fits lose the race automatically:
+    their composed coords leave the image and are scored -1.
+    """
+    c0, s0, m0 = _match_pair_pyramid(img_t, img_s, n_levels, patch)
+    Hm = _fit_homography_weighted(c0, jnp.clip(s0, 0.0, None) ** 2)
+    warped = _warp_image_by_homography(img_s, Hm)
+    c1, s1, m1 = _match_pair_pyramid(img_t, warped, n_levels, patch)
+    cH = _apply_homography(Hm, c1)
+    H, W = img_t.shape[-2:]
+    inb = ((cH[..., 0] >= 0) & (cH[..., 0] <= W - 1)
+           & (cH[..., 1] >= 0) & (cH[..., 1] <= H - 1))
+    s1 = jnp.where(inb, s1, -1.0)
+    use1 = s1 > s0
+    return (jnp.where(use1[..., None], cH, c0), jnp.where(use1, s1, s0),
+            jnp.where(use1, m1, m0))
+
+
+# ---------------------------------------------------------------------------
 # geometry-guided plane-sweep rematching
 #
 # Wide-baseline pairs (the synthetic rig has 19-57 deg relative rotations;
@@ -1129,6 +1241,8 @@ def compute_zncc_flow_of_combi_list(
     init_poses_w2c: Optional[np.ndarray] = None,
     geom_iters: int = 3,
     return_cc: bool = False,
+    use_homography: bool = False,
+    stage1_fn=None,
 ):
     """Dense matching for every pair; returns (P,2,H,W) corres + (P,1,H,W) conf.
 
@@ -1156,7 +1270,8 @@ def compute_zncc_flow_of_combi_list(
     with jax.default_matmul_precision("float32"):
         return _compute_zncc_flow_impl(
             images, combi_list, n_levels, patch, min_zncc_score, min_margin,
-            intr, init_poses_w2c, geom_iters, return_cc,
+            intr, init_poses_w2c, geom_iters, return_cc, use_homography,
+            stage1_fn,
         )
 
 
@@ -1169,10 +1284,63 @@ def _pair_sets(combi_list):
     return needed, unordered
 
 
-def _stage1_flows(imgs, needed, n_levels, patch):
+def _stage1_flows(imgs, needed, n_levels, patch, homography: bool = False):
     """Hierarchical appearance matching for every ordered pair."""
-    match = jax.jit(lambda t, s: _match_pair_pyramid(t, s, n_levels, patch))
+    fn = _match_pair_pyramid_homog if homography else _match_pair_pyramid
+    match = jax.jit(lambda t, s: fn(t, s, n_levels, patch))
     return {(t, s): match(imgs[t], imgs[s]) for t, s in sorted(needed)}
+
+
+def _pdcnet_stage1_provider(images_full, weights_path, adapt_steps=0,
+                            use_homography=False):
+    """Learned stage-1 for the geometry pipeline (hybrid learned+geometric).
+
+    Runs PDC-Net ONCE at the full (training) resolution — the net does not
+    generalize across resolutions — and serves downscaled copies to the
+    low-res geometry bootstrap. Score/margin slots carry p_r (in [0,1], so
+    the downstream gates min_score=0.6 / min_zncc_score=0.7 / margin>=0.05
+    read as p_r thresholds until the plane-sweep rematch overwrites them
+    with real ZNCC scores).
+
+    Motivation (measured, round 4): pure learned pools have ~0.3-0.6px
+    PER-PAIR COHERENT bias in varying directions — indistinguishable from a
+    pose error to the corres loss, which drives joint pose refinement to a
+    ~2-deg floor even though median EPE is < 1px. The mini-SfM + plane-sweep
+    stage-2 refits poses robustly from the learned seeds and re-matches
+    epipolar-consistently, projecting that bias out (same mechanism that
+    gives the classical backend its 0.16-deg headline).
+    """
+    cache = {}
+
+    def provider(imgs, needed, n_levels, patch, homography=False):
+        del n_levels, patch, homography
+        H, W = int(imgs.shape[-2]), int(imgs.shape[-1])
+        Hf, Wf = int(images_full.shape[-2]), int(images_full.shape[-1])
+        if not cache:
+            from sparf_tpu.models import pdcnet_jax
+
+            pairs = sorted(needed)
+            combi = np.array([[t for t, _ in pairs], [s for _, s in pairs]],
+                             np.int32)
+            corres, conf = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+                images_full, combi, weights_path=weights_path,
+                adapt_steps=adapt_steps, use_homography=use_homography,
+            )
+            for p, (t, s) in enumerate(pairs):
+                cache[(t, s)] = (corres[p].transpose(1, 2, 0), conf[p, 0])
+        out = {}
+        for t, s in sorted(needed):
+            c, f = cache[(t, s)]
+            if (H, W) != (Hf, Wf):
+                import cv2
+
+                sc = np.array([W / Wf, H / Hf], np.float32)
+                c = cv2.resize(np.asarray(c), (W, H)) * sc
+                f = cv2.resize(np.asarray(f), (W, H))
+            out[(t, s)] = (jnp.asarray(c), jnp.asarray(f), jnp.asarray(f))
+        return out
+
+    return provider
 
 
 def _geometry_rounds(images, imgs, intr, flows, unordered, init_poses_w2c,
@@ -1247,8 +1415,10 @@ _BOOTSTRAP_MAX_DIM = 200
 
 def _compute_zncc_flow_impl(
     images, combi_list, n_levels, patch, min_zncc_score, min_margin,
-    intr, init_poses_w2c, geom_iters, return_cc=False,
+    intr, init_poses_w2c, geom_iters, return_cc=False, use_homography=False,
+    stage1_fn=None,
 ):
+    stage1 = stage1_fn or _stage1_flows
     images_np = np.asarray(images)
     imgs = jnp.asarray(images_np, jnp.float32)
     B, C, H, W = imgs.shape
@@ -1276,7 +1446,8 @@ def _compute_zncc_flow_impl(
         intr_small = np.stack([S @ np.asarray(K, np.float64) for K in intr])
         imgs_small = jnp.asarray(small_np, jnp.float32)
         n_lvl_small = max(2, int(np.floor(np.log2(min(Hs, Ws) / 10))) + 1)
-        flows_small = _stage1_flows(imgs_small, needed, n_lvl_small, patch)
+        flows_small = stage1(imgs_small, needed, n_lvl_small, patch,
+                             homography=use_homography)
         poses, depth_pool = _geometry_rounds(
             small_np, imgs_small, intr_small, flows_small, unordered,
             init_poses_w2c, geom_iters, radius=1,
@@ -1309,7 +1480,7 @@ def _compute_zncc_flow_impl(
 
     if n_levels is None:
         n_levels = max(2, int(np.floor(np.log2(min(H, W) / 10))) + 1)
-    flows = _stage1_flows(imgs, needed, n_levels, patch)
+    flows = stage1(imgs, needed, n_levels, patch, homography=use_homography)
     if intr is not None:
         intr = np.asarray(intr)
         _geometry_rounds(images_np, imgs, intr, flows, unordered,
@@ -1401,10 +1572,23 @@ class FlowSelectionWrapper:
 
     def __init__(self, backend: str = "zncc", ckpt_path: Optional[str] = None,
                  num_views: int = 0, adapt_steps: int = 0,
-                 init_poses_w2c: Optional[np.ndarray] = None):
+                 init_poses_w2c: Optional[np.ndarray] = None,
+                 use_homography: bool = False,
+                 geometry_refine: bool = True):
         self.backend = backend
         self.ckpt_path = ckpt_path
         self.adapt_steps = adapt_steps
+        # reference cfg.use_homography_flow (base_corres_loss.py:107,111):
+        # homography pre-alignment before dense matching; applied to the
+        # classical pyramid stage here (_match_pair_pyramid_homog)
+        self.use_homography = bool(use_homography)
+        # hybrid learned+geometric pipeline for the pdcnet_jax backend: the
+        # learned net provides stage-1 seeds, mini-SfM + plane-sweep rematch
+        # make the emitted pools epipolar-consistent (kills the measured
+        # ~0.5px per-pair coherent bias of raw learned flows — see
+        # _pdcnet_stage1_provider). Requires scene intrinsics; settable off
+        # via cfg.pdcnet_geometry_refine for raw-flow parity experiments.
+        self.geometry_refine = bool(geometry_refine)
         self.init_poses_w2c = (
             np.asarray(init_poses_w2c) if init_poses_w2c is not None else None
         )
@@ -1462,6 +1646,7 @@ class FlowSelectionWrapper:
                 intr=np.asarray(scene["intr"]) if "intr" in scene else None,
                 init_poses_w2c=self.init_poses_w2c,
                 return_cc=return_cc,
+                use_homography=self.use_homography,
             )
         if backend == "SPSG":
             from sparf_tpu.models import sparse_matcher
@@ -1472,9 +1657,23 @@ class FlowSelectionWrapper:
         if backend == "pdcnet_jax":
             from sparf_tpu.models import pdcnet_jax
 
+            images = np.asarray(scene["image"])
+            if self.geometry_refine and "intr" in scene:
+                # hybrid: learned seeds -> mini-SfM -> plane-sweep rematch
+                return compute_zncc_flow_of_combi_list(
+                    images, combi_list,
+                    intr=np.asarray(scene["intr"]),
+                    init_poses_w2c=self.init_poses_w2c,
+                    return_cc=return_cc,
+                    stage1_fn=_pdcnet_stage1_provider(
+                        images, self.ckpt_path, self.adapt_steps,
+                        use_homography=self.use_homography,
+                    ),
+                )
             out = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
-                np.asarray(scene["image"]), combi_list,
+                images, combi_list,
                 weights_path=self.ckpt_path, adapt_steps=self.adapt_steps,
+                use_homography=self.use_homography,
             )
             if return_cc:
                 corres, conf = out

@@ -346,8 +346,16 @@ def compute_pdcnet_flow_of_combi_list(
     params: Optional[Dict[str, Any]] = None,
     weights_path: Optional[str] = None,
     adapt_steps: int = 0,
+    use_homography: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Matcher-facade entry: (P,2,H,W) corres + (P,1,H,W) p_r."""
+    """Matcher-facade entry: (P,2,H,W) corres + (P,1,H,W) p_r.
+
+    use_homography: the reference PDC-Net homography inference branch
+    (cfg.use_homography_flow, base_corres_loss.py:107): fit a robust global
+    homography to the confident base matches, re-run the network against the
+    homography-warped source (near-identity regime), compose, and keep the
+    per-pixel winner by p_r.
+    """
     if params is None:
         if weights_path:
             params = load_weights_npz(weights_path)
@@ -360,11 +368,31 @@ def compute_pdcnet_flow_of_combi_list(
     imgs = jnp.asarray(np.asarray(images), jnp.float32)
     B, _, H, W = imgs.shape
     fwd = jax.jit(lambda t, s: forward(params, t, s))
-    corres_out, conf_out = [], []
-    for t, s in combi_list.T:
-        out = fwd(imgs[int(t)][None], imgs[int(s)][None])
+
+    def infer(t_img, s_img):
+        out = fwd(t_img[None], s_img[None])
         mapping = jax.image.resize(out["mapping"] * 2.0, (1, 2, H, W), "bilinear")
         p_r = jax.image.resize(out["p_r"], (1, 1, H, W), "bilinear")
-        corres_out.append(np.asarray(mapping[0]))
-        conf_out.append(np.asarray(p_r[0]))
+        return mapping[0], p_r[0, 0]
+
+    corres_out, conf_out = [], []
+    for t, s in combi_list.T:
+        c0, p0 = infer(imgs[int(t)], imgs[int(s)])
+        if use_homography:
+            from sparf_tpu.models import flow_net as _fn
+
+            Hm = _fn._fit_homography_weighted(
+                jnp.transpose(c0, (1, 2, 0)), jnp.clip(p0, 0.0, None) ** 2
+            )
+            warped = _fn._warp_image_by_homography(imgs[int(s)], Hm)
+            c1, p1 = infer(imgs[int(t)], warped)
+            cH = _fn._apply_homography(Hm, jnp.transpose(c1, (1, 2, 0)))
+            inb = ((cH[..., 0] >= 0) & (cH[..., 0] <= W - 1)
+                   & (cH[..., 1] >= 0) & (cH[..., 1] <= H - 1))
+            p1 = jnp.where(inb, p1, 0.0)
+            use1 = p1 > p0
+            c0 = jnp.where(use1[None], jnp.transpose(cH, (2, 0, 1)), c0)
+            p0 = jnp.where(use1, p1, p0)
+        corres_out.append(np.asarray(c0))
+        conf_out.append(np.asarray(p0)[None])
     return np.stack(corres_out).astype(np.float32), np.stack(conf_out).astype(np.float32)

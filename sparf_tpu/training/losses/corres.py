@@ -67,6 +67,8 @@ def build_correspondence_pools(cfg, scene_np, logger=None,
         backend=backend, ckpt_path=cfg.get("flow_ckpt_path"),
         adapt_steps=int(cfg.get("pdcnet_adapt_steps", 0) or 0),
         init_poses_w2c=init_poses_w2c,
+        use_homography=bool(cfg.get("use_homography_flow")),
+        geometry_refine=bool(cfg.get("pdcnet_geometry_refine", True)),
     )
     cc_maps = None
     if cfg.get("filter_corr_w_cc"):
