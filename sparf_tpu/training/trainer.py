@@ -296,6 +296,7 @@ class NerfTrainerPerScene:
             if it % cfg.vis_steps == 0:
                 self.visualize_train_view(it)
             if it % cfg.val_steps == 0:
+                self.record_pose_history(it)
                 self.validate(it)
             if it % cfg.snapshot_steps == 0:
                 self.save_snapshot()
@@ -306,6 +307,31 @@ class NerfTrainerPerScene:
 
     def on_iteration_start(self, iteration: int):
         pass
+
+    def record_pose_history(self, iteration: int):
+        """Append the current pose estimates to workspace/pose_history.npz.
+
+        Each entry is (iteration, N x 3 x 4 w2c) — a few KB — so
+        generate_videos_pose can animate the whole optimization trajectory.
+        The reference walks surviving checkpoints instead
+        (joint_pose_nerf_trainer.py:664-705), which its keep-2 GC reduces to
+        ~2 frames; storing poses directly is strictly more informative.
+        Only pose-optimizing trainers record (no-op otherwise)."""
+        if not hasattr(self, "pose_cfg"):
+            return
+        path = os.path.join(self.workspace, "pose_history.npz")
+        iters, poses = [], []
+        if os.path.exists(path):
+            try:
+                with np.load(path) as z:
+                    iters, poses = list(z["iters"]), list(z["poses"])
+            except Exception:
+                iters, poses = [], []
+        if iters and int(iters[-1]) == int(iteration):
+            return
+        iters.append(int(iteration))
+        poses.append(np.asarray(self.current_poses_w2c(), dtype=np.float32))
+        np.savez(path, iters=np.asarray(iters), poses=np.stack(poses))
 
     def make_results_dict_low_freq(self) -> Dict[str, float]:
         return {}

@@ -87,18 +87,50 @@ def generate_videos_synthesis(trainer, out_dir: Optional[str] = None,
     return paths
 
 
-def generate_videos_pose(trainer, out_dir: Optional[str] = None, n_frames: int = 30,
+def generate_videos_pose(trainer, out_dir: Optional[str] = None, n_frames: int = 60,
                          fps: int = 10) -> Optional[str]:
-    """Frusta-plot video of optimized vs GT poses (joint trainer :664-705)."""
+    """Frusta-plot video of optimized-vs-GT poses over the optimization
+    trajectory (joint_pose_nerf_trainer.py:664-705 analog).
+
+    The trainer records poses at every val step into
+    workspace/pose_history.npz (trainer.record_pose_history); the animation
+    walks that history with axes pinned to the union bounding box so the
+    camera cloud visibly converges onto GT. Falls back to a still of the
+    final poses when no history exists (e.g. video-only on a foreign run)."""
     if not hasattr(trainer, "pose_cfg"):
         return None
     out_dir = out_dir or os.path.join(trainer.workspace, "videos")
     os.makedirs(out_dir, exist_ok=True)
-    pose = np.asarray(trainer.current_poses_w2c())
     pose_gt = np.asarray(trainer.train_scene_np["pose"])
-    frame = vis.plot_camera_frusta(
-        [("optimized", pose, "tab:red"), ("GT", pose_gt, "tab:blue")],
-        title=f"iter {trainer.iteration}",
-    )
-    path = write_video([frame] * max(n_frames // 3, 1), os.path.join(out_dir, "poses.mp4"), fps)
+
+    entries = []
+    hist_path = os.path.join(trainer.workspace, "pose_history.npz")
+    if os.path.exists(hist_path):
+        try:
+            with np.load(hist_path) as z:
+                entries = [(int(i), np.asarray(p)) for i, p in zip(z["iters"], z["poses"])]
+        except Exception:
+            entries = []
+    entries.append((int(trainer.iteration), np.asarray(trainer.current_poses_w2c())))
+    if len(entries) > n_frames:  # subsample evenly, always keeping first + last
+        sel = np.unique(np.round(np.linspace(0, len(entries) - 1, n_frames)).astype(int))
+        entries = [entries[i] for i in sel]
+
+    # fixed axes across frames: union bbox of GT + every history entry
+    centers = [alignment.invert_poses(pose_gt)[:, :3, 3]]
+    centers += [alignment.invert_poses(p)[:, :3, 3] for _, p in entries]
+    allc = np.concatenate(centers, axis=0)
+    lo, hi = allc.min(0), allc.max(0)
+    pad = 0.15 * (hi - lo).max() + 1e-3
+    axlim = np.stack([lo - pad, hi + pad], axis=-1)
+
+    frames = [
+        vis.plot_camera_frusta(
+            [("optimized", p, "tab:red"), ("GT", pose_gt, "tab:blue")],
+            title=f"iter {it}", axlim=axlim,
+        )
+        for it, p in entries
+    ]
+    frames += [frames[-1]] * max(fps, 1)  # hold the converged state ~1s
+    path = write_video(frames, os.path.join(out_dir, "poses.mp4"), fps)
     return path

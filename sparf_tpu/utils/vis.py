@@ -103,10 +103,13 @@ def plot_camera_frusta(
     poses_w2c_list: List[Tuple[str, np.ndarray, str]],
     depth: float = 0.3,
     title: str = "",
+    axlim: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """3D frusta plot -> (H,W,3) float image.
 
     poses_w2c_list: [(label, (N,3,4) w2c poses, matplotlib color)].
+    axlim: optional (3,2) [(min,max) per axis] to pin the view across frames
+    of an animation (pose-trajectory video holds axes fixed).
     (reference vis_rendering.py:330-495)
     """
     import matplotlib
@@ -133,6 +136,10 @@ def plot_camera_frusta(
                 a, b = pts[j], pts[(j + 1) % 4]
                 ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], c=color, lw=0.5)
                 ax.plot([t[0], pts[j][0]], [t[1], pts[j][1]], [t[2], pts[j][2]], c=color, lw=0.5)
+    if axlim is not None:
+        ax.set_xlim(axlim[0, 0], axlim[0, 1])
+        ax.set_ylim(axlim[1, 0], axlim[1, 1])
+        ax.set_zlim(axlim[2, 0], axlim[2, 1])
     ax.legend()
     if title:
         ax.set_title(title)

@@ -152,3 +152,66 @@ def test_write_video(tmp_path):
     path = write_video(frames, str(tmp_path / "test.mp4"), fps=5)
     assert os.path.exists(path)
     assert os.path.getsize(path) > 0
+
+
+def test_pose_history_video_animates_trajectory(scene, tmp_path):
+    """record_pose_history + generate_videos_pose: poses stored at val steps
+    become an animated frusta trajectory (reference joint trainer :664-705
+    walks checkpoints; keep-2 GC leaves it ~2 frames — history is richer)."""
+    from types import SimpleNamespace
+
+    from sparf_tpu.training.trainer import NerfTrainerPerScene
+    from sparf_tpu.utils.video import generate_videos_pose
+
+    gt = np.asarray(scene["pose"])
+
+    def noisy(it):
+        # converge linearly toward GT over 100 iters
+        out = gt.copy()
+        out[:, :, 3] += 0.3 * (1 - min(it, 100) / 100.0)
+        return out
+
+    trainer = SimpleNamespace(
+        pose_cfg=object(), workspace=str(tmp_path), iteration=100,
+        train_scene_np={"pose": gt},
+        current_poses_w2c=lambda: noisy(trainer.iteration),
+    )
+    for it in (0, 50, 100):
+        trainer.iteration = it
+        NerfTrainerPerScene.record_pose_history(trainer, it)
+    # duplicate-iteration guard: re-recording the same iter is a no-op
+    NerfTrainerPerScene.record_pose_history(trainer, 100)
+    z = np.load(os.path.join(str(tmp_path), "pose_history.npz"))
+    assert list(z["iters"]) == [0, 50, 100]
+    assert z["poses"].shape == (3, *gt.shape)
+
+    path = generate_videos_pose(trainer, out_dir=str(tmp_path))
+    assert path is not None and os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_homography_fit_robust_to_outliers():
+    """IRLS-DLT recovers a known homography from a 30%-outlier flow field
+    (the use_homography_flow pre-alignment, reference base_corres_loss.py:107)."""
+    import jax.numpy as jnp
+
+    from sparf_tpu.models import flow_net as F
+
+    H, W = 60, 80
+    rng = np.random.RandomState(0)
+    Hm_true = np.array([[1.05, 0.03, 2.0], [-0.02, 0.98, -1.5], [1e-4, -2e-4, 1.0]])
+    xx, yy = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+    grid = np.stack([xx, yy], -1)
+    gt = np.asarray(F._apply_homography(jnp.asarray(Hm_true), jnp.asarray(grid)))
+    corres = gt + rng.randn(H, W, 2) * 0.3
+    out = rng.rand(H, W) < 0.3
+    corres[out] += rng.randn(out.sum(), 2) * 25
+    Hm = F._fit_homography_weighted(
+        jnp.asarray(corres, jnp.float32), jnp.ones((H, W), jnp.float32)
+    )
+    est = np.asarray(F._apply_homography(Hm, jnp.asarray(grid)))
+    err = np.linalg.norm(est - gt, axis=-1)
+    assert np.median(err) < 0.5, np.median(err)
+    # identity warp is a no-op
+    img = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
+    warped = F._warp_image_by_homography(img, jnp.eye(3))
+    assert float(jnp.abs(warped - img).max()) == 0.0
