@@ -326,3 +326,59 @@ def test_corres_pools_shapes():
         po = pools["pool_pix_other"][k, :c]
         assert po[:, 0].min() >= 0 and po[:, 0].max() <= 51
         assert po[:, 1].min() >= 0 and po[:, 1].max() <= 39
+
+
+def test_hybrid_learned_matcher_wiring(monkeypatch):
+    """Config plumbing for the hybrid learned+geometric pipeline: cfg flags
+    reach the wrapper, and the pdcnet_jax backend dispatches to the geometry
+    pipeline with a learned stage-1 provider when geometry_refine is on (and
+    to raw PDC-Net inference when off)."""
+    calls = {}
+
+    def fake_zncc(images, combi_list, **kw):
+        calls["zncc_kw"] = kw
+        P = combi_list.shape[1]
+        H, W = images.shape[-2:]
+        return np.zeros((P, 2, H, W), np.float32), np.ones((P, 1, H, W), np.float32)
+
+    def fake_pdcnet(images, combi_list, **kw):
+        calls["pdcnet_kw"] = kw
+        P = combi_list.shape[1]
+        H, W = images.shape[-2:]
+        return np.zeros((P, 2, H, W), np.float32), np.ones((P, 1, H, W), np.float32)
+
+    monkeypatch.setattr(flow_net, "compute_zncc_flow_of_combi_list", fake_zncc)
+    from sparf_tpu.models import pdcnet_jax
+    monkeypatch.setattr(pdcnet_jax, "compute_pdcnet_flow_of_combi_list", fake_pdcnet)
+
+    sc = load_synthetic_scene(split="train", H=40, W=52, n_train=3, n_test=1)
+    combi = flow_net.get_combi_list(3, "all")
+
+    # hybrid (default): geometry pipeline with a learned stage-1 provider
+    w = flow_net.FlowSelectionWrapper(backend="pdcnet_jax", num_views=3,
+                                      use_homography=True, geometry_refine=True)
+    w.compute_flow_and_confidence_map_of_combi_list(sc, combi)
+    assert "zncc_kw" in calls and calls["zncc_kw"]["stage1_fn"] is not None
+    assert "pdcnet_kw" not in calls  # provider is lazy: net not run up front
+
+    # raw mode: straight PDC-Net inference, homography flag forwarded
+    calls.clear()
+    w = flow_net.FlowSelectionWrapper(backend="pdcnet_jax", num_views=3,
+                                      use_homography=True, geometry_refine=False)
+    w.compute_flow_and_confidence_map_of_combi_list(sc, combi)
+    assert "pdcnet_kw" in calls and calls["pdcnet_kw"]["use_homography"] is True
+    assert "zncc_kw" not in calls
+
+    # cfg -> wrapper plumbing via build_correspondence_pools
+    seen = {}
+    real_init = flow_net.FlowSelectionWrapper.__init__
+
+    def spy_init(self, *a, **kw):
+        seen.update(kw)
+        return real_init(self, *a, **kw)
+
+    monkeypatch.setattr(flow_net.FlowSelectionWrapper, "__init__", spy_init)
+    cfg = _mini_cfg(use_gt_correspondences=False, flow_backbone="zncc",
+                    use_homography_flow=True, pdcnet_geometry_refine=False)
+    corres_mod.build_correspondence_pools(cfg, sc)
+    assert seen["use_homography"] is True and seen["geometry_refine"] is False
