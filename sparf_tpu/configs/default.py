@@ -173,6 +173,10 @@ def get_nerf_default_config_llff() -> ConfigDict:
     cfg.flow_backbone = "PDCNet"
     cfg.flow_ckpt_path = None
     cfg.use_homography_flow = False
+    # PDC-Net 'multiscale' inference variant (reference: external submodule
+    # inference_parameters; see docs/parity_map.md): extra center-zoom
+    # source pre-warps raced per pixel by p_r. E.g. [0.7, 1.4]; empty = off.
+    cfg.pdcnet_multiscale = ()
     cfg.flow_batch_size = 5
     # sparf_tpu addition: pipe the learned backend's flows through the
     # mini-SfM + plane-sweep geometry stage (epipolar-consistent pools;

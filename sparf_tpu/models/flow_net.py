@@ -1292,7 +1292,7 @@ def _stage1_flows(imgs, needed, n_levels, patch, homography: bool = False):
 
 
 def _pdcnet_stage1_provider(images_full, weights_path, adapt_steps=0,
-                            use_homography=False):
+                            use_homography=False, multiscale_factors=None):
     """Learned stage-1 for the geometry pipeline (hybrid learned+geometric).
 
     Runs PDC-Net ONCE at the full (training) resolution — the net does not
@@ -1325,6 +1325,7 @@ def _pdcnet_stage1_provider(images_full, weights_path, adapt_steps=0,
             corres, conf = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
                 images_full, combi, weights_path=weights_path,
                 adapt_steps=adapt_steps, use_homography=use_homography,
+                multiscale_factors=multiscale_factors,
             )
             for p, (t, s) in enumerate(pairs):
                 cache[(t, s)] = (corres[p].transpose(1, 2, 0), conf[p, 0])
@@ -1574,10 +1575,15 @@ class FlowSelectionWrapper:
                  num_views: int = 0, adapt_steps: int = 0,
                  init_poses_w2c: Optional[np.ndarray] = None,
                  use_homography: bool = False,
-                 geometry_refine: bool = True):
+                 geometry_refine: bool = True,
+                 multiscale_factors=None):
         self.backend = backend
         self.ckpt_path = ckpt_path
         self.adapt_steps = adapt_steps
+        # reference PDC-Net 'multiscale' inference variant (external
+        # submodule; exposed alongside use_homography_flow): extra
+        # center-zoom pre-warp candidates raced per pixel by p_r
+        self.multiscale_factors = tuple(multiscale_factors or ())
         # reference cfg.use_homography_flow (base_corres_loss.py:107,111):
         # homography pre-alignment before dense matching; applied to the
         # classical pyramid stage here (_match_pair_pyramid_homog)
@@ -1668,12 +1674,14 @@ class FlowSelectionWrapper:
                     stage1_fn=_pdcnet_stage1_provider(
                         images, self.ckpt_path, self.adapt_steps,
                         use_homography=self.use_homography,
+                        multiscale_factors=self.multiscale_factors,
                     ),
                 )
             out = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
                 images, combi_list,
                 weights_path=self.ckpt_path, adapt_steps=self.adapt_steps,
                 use_homography=self.use_homography,
+                multiscale_factors=self.multiscale_factors,
             )
             if return_cc:
                 corres, conf = out

@@ -341,12 +341,25 @@ def self_supervised_adapt(
     return params
 
 
+def _scale_about_center_homography(f: float, H: int, W: int) -> Array:
+    """Similarity that zooms the image about its center by 1/f: a pixel u of
+    the warped canvas samples the original at c + f*(u-c). Used as a
+    multi-scale pre-warp candidate (the external PDC-Net's 'multiscale'
+    inference re-runs the net over scaled source copies the same way)."""
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    return jnp.asarray(
+        [[f, 0.0, cx * (1.0 - f)], [0.0, f, cy * (1.0 - f)], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+
+
 def compute_pdcnet_flow_of_combi_list(
     images: np.ndarray, combi_list: np.ndarray,
     params: Optional[Dict[str, Any]] = None,
     weights_path: Optional[str] = None,
     adapt_steps: int = 0,
     use_homography: bool = False,
+    multiscale_factors: Optional[Tuple[float, ...]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Matcher-facade entry: (P,2,H,W) corres + (P,1,H,W) p_r.
 
@@ -355,6 +368,15 @@ def compute_pdcnet_flow_of_combi_list(
     homography to the confident base matches, re-run the network against the
     homography-warped source (near-identity regime), compose, and keep the
     per-pixel winner by p_r.
+
+    multiscale_factors: the reference PDC-Net 'multiscale' inference variant
+    (external DenseMatching submodule; the reference exposes it through the
+    same inference_parameters the homography branch uses, flow_net.py:485-489)
+    — re-run the net against center-zoomed copies of the source (one per
+    factor != 1) and keep the per-pixel winner by p_r. XLA-friendly
+    fixed-candidate race instead of the reference's homography-quality
+    scale selection; composes with use_homography (the homography candidate
+    joins the same race).
     """
     if params is None:
         if weights_path:
@@ -373,26 +395,49 @@ def compute_pdcnet_flow_of_combi_list(
         out = fwd(t_img[None], s_img[None])
         mapping = jax.image.resize(out["mapping"] * 2.0, (1, 2, H, W), "bilinear")
         p_r = jax.image.resize(out["p_r"], (1, 1, H, W), "bilinear")
-        return mapping[0], p_r[0, 0]
+        # continuous race key for the pre-warp candidates: expected mixture
+        # variance (p_r saturates at 1.0 after the /0.5730 clip, so confident
+        # pixels tie under it and the race would degenerate)
+        evar = (out["alpha"] * jnp.exp(out["log_var_s"])
+                + (1 - out["alpha"]) * jnp.exp(out["log_var_l"]))
+        evar = jax.image.resize(evar, (1, 1, H, W), "bilinear")
+        return mapping[0], p_r[0, 0], evar[0, 0]
+
+    def race_prewarp(c0, p0, v0, img_t, img_s, Hm):
+        """Candidate from matching against the Hm-pre-warped source; composed
+        back to source coords and raced per pixel by expected mixture
+        variance (lower wins) against (c0, p0, v0)."""
+        from sparf_tpu.models import flow_net as _fn
+
+        warped = _fn._warp_image_by_homography(img_s, Hm)
+        c1, p1, v1 = infer(img_t, warped)
+        cH = _fn._apply_homography(Hm, jnp.transpose(c1, (1, 2, 0)))
+        inb = ((cH[..., 0] >= 0) & (cH[..., 0] <= W - 1)
+               & (cH[..., 1] >= 0) & (cH[..., 1] <= H - 1))
+        p1 = jnp.where(inb, p1, 0.0)
+        v1 = jnp.where(inb, v1, jnp.inf)
+        use1 = v1 < v0
+        return (jnp.where(use1[None], jnp.transpose(cH, (2, 0, 1)), c0),
+                jnp.where(use1, p1, p0), jnp.where(use1, v1, v0))
+
+    scale_prewarps = [
+        _scale_about_center_homography(float(f), H, W)
+        for f in (multiscale_factors or ())
+        if abs(float(f) - 1.0) > 1e-6
+    ]
 
     corres_out, conf_out = [], []
     for t, s in combi_list.T:
-        c0, p0 = infer(imgs[int(t)], imgs[int(s)])
+        c0, p0, v0 = infer(imgs[int(t)], imgs[int(s)])
+        for Hm in scale_prewarps:
+            c0, p0, v0 = race_prewarp(c0, p0, v0, imgs[int(t)], imgs[int(s)], Hm)
         if use_homography:
             from sparf_tpu.models import flow_net as _fn
 
             Hm = _fn._fit_homography_weighted(
                 jnp.transpose(c0, (1, 2, 0)), jnp.clip(p0, 0.0, None) ** 2
             )
-            warped = _fn._warp_image_by_homography(imgs[int(s)], Hm)
-            c1, p1 = infer(imgs[int(t)], warped)
-            cH = _fn._apply_homography(Hm, jnp.transpose(c1, (1, 2, 0)))
-            inb = ((cH[..., 0] >= 0) & (cH[..., 0] <= W - 1)
-                   & (cH[..., 1] >= 0) & (cH[..., 1] <= H - 1))
-            p1 = jnp.where(inb, p1, 0.0)
-            use1 = p1 > p0
-            c0 = jnp.where(use1[None], jnp.transpose(cH, (2, 0, 1)), c0)
-            p0 = jnp.where(use1, p1, p0)
+            c0, p0, v0 = race_prewarp(c0, p0, v0, imgs[int(t)], imgs[int(s)], Hm)
         corres_out.append(np.asarray(c0))
         conf_out.append(np.asarray(p0)[None])
     return np.stack(corres_out).astype(np.float32), np.stack(conf_out).astype(np.float32)

@@ -69,6 +69,7 @@ def build_correspondence_pools(cfg, scene_np, logger=None,
         init_poses_w2c=init_poses_w2c,
         use_homography=bool(cfg.get("use_homography_flow")),
         geometry_refine=bool(cfg.get("pdcnet_geometry_refine", True)),
+        multiscale_factors=cfg.get("pdcnet_multiscale") or (),
     )
     cc_maps = None
     if cfg.get("filter_corr_w_cc"):

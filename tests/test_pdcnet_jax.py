@@ -66,3 +66,42 @@ def test_self_supervised_adaptation_improves():
                                               n_steps=300)
     err1 = eval_error(params)
     assert err1 < err0 * 0.8, (err0, err1)
+
+
+def test_scale_homography_geometry():
+    """Multi-scale pre-warp: S_f composed with S_{1/f} is the identity, and
+    the center is a fixed point."""
+    from sparf_tpu.models.flow_net import _apply_homography
+
+    H, W = 48, 64
+    Sf = pdcnet_jax._scale_about_center_homography(1.5, H, W)
+    Si = pdcnet_jax._scale_about_center_homography(1 / 1.5, H, W)
+    pts = jnp.asarray(np.random.RandomState(0).rand(17, 2) * [W - 1, H - 1],
+                      jnp.float32)
+    back = _apply_homography(Sf, _apply_homography(Si, pts))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
+    c = jnp.asarray([[(W - 1) / 2.0, (H - 1) / 2.0]], jnp.float32)
+    np.testing.assert_allclose(np.asarray(_apply_homography(Sf, c)),
+                               np.asarray(c), atol=1e-5)
+
+
+def test_multiscale_race_contract():
+    """multiscale_factors=(1.0,) is a no-op; extra factors keep the output
+    contract (race is by expected mixture variance, lower wins)."""
+    rng = np.random.RandomState(3)
+    images = rng.rand(2, 3, 32, 40).astype(np.float32)
+    combi = np.array([[0], [1]], np.int32)
+    params = pdcnet_jax.init_params(jax.random.PRNGKey(0))
+
+    c_base, p_base = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+        images, combi, params=params)
+    c_one, p_one = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+        images, combi, params=params, multiscale_factors=(1.0,))
+    np.testing.assert_array_equal(c_one, c_base)
+    np.testing.assert_array_equal(p_one, p_base)
+
+    c_ms, p_ms = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+        images, combi, params=params, multiscale_factors=(0.6, 1.5))
+    assert c_ms.shape == c_base.shape and p_ms.shape == p_base.shape
+    assert np.isfinite(c_ms).all() and np.isfinite(p_ms).all()
+    assert p_ms.min() >= 0 and p_ms.max() <= 1

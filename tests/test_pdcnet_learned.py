@@ -103,3 +103,47 @@ def test_learned_weights_autoload_and_provenance():
     d = np.load(WEIGHTS)
     assert "provenance" in d, "weights npz must record training provenance"
     assert "trained" in str(d["provenance"])
+
+
+@pytest.mark.slow
+def test_multiscale_inference_recovers_scale_mismatch():
+    """PDC-Net 'multiscale' inference variant: on a pair with a 1.6x scale
+    change (far outside the +-25%-corner-shift training distribution), the
+    center-zoom candidate that undoes the zoom must win the p_r race and cut
+    the median EPE vs plain inference."""
+    import jax.numpy as jnp
+
+    from sparf_tpu.models import pdcnet_jax
+    from sparf_tpu.models.flow_net import (_apply_homography,
+                                           _warp_image_by_homography)
+
+    sc = load_synthetic_scene(split="train", H=300, W=400, n_train=3, n_test=1,
+                              angular_span=0.35, texture_octaves=3)
+    tgt = np.asarray(sc["image"][0], np.float32)
+    H, W = tgt.shape[-2:]
+    f = 1.6
+    # src(v) = tgt(S_{1/f}(v))  =>  GT mapping u -> S_f(u); the f-candidate
+    # pre-warp turns the pair into an identity pair
+    S_inv = pdcnet_jax._scale_about_center_homography(1.0 / f, H, W)
+    src = np.asarray(_warp_image_by_homography(jnp.asarray(tgt), S_inv))
+    images = np.stack([tgt, src])
+    combi = np.array([[0], [1]], np.int32)
+
+    S_f = pdcnet_jax._scale_about_center_homography(f, H, W)
+    xx, yy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    gt = np.asarray(_apply_homography(
+        jnp.asarray(S_f), jnp.asarray(np.stack([xx, yy], -1))))
+
+    def med_epe(corres):
+        err = np.hypot(corres[0, 0] - gt[..., 0], corres[0, 1] - gt[..., 1])
+        # central crop: border pixels mix zero-padding from the warp
+        return float(np.median(err[H // 4: -H // 4, W // 4: -W // 4]))
+
+    c_plain, _ = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+        images, combi, weights_path=WEIGHTS)
+    c_ms, _ = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+        images, combi, weights_path=WEIGHTS, multiscale_factors=(f,))
+    e_plain, e_ms = med_epe(c_plain), med_epe(c_ms)
+    assert e_ms < e_plain * 0.5, (e_plain, e_ms)
+    assert e_ms < 5.0, e_ms
