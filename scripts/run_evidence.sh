@@ -52,16 +52,32 @@ for row in "${rows[@]}"; do
         --flow_backbone=PDCNet \
         --max_iter=15000 --rematch_at_ratio=0.15 ;;
     static_pools)
+      # classical matcher forced: this row evidences the "static pools,
+      # reference behavior" ladder rung (2.2 deg freeze). The preset default
+      # PDCNet now autoloads the bundled learned weights, which would change
+      # the row's meaning.
       run_row static_pools joint_pose_nerf_training/synthetic sparf "$SYN" \
         --use_gt_correspondences=false --min_nbr_matches=100 \
+        --flow_backbone=zncc \
         --max_iter=15000 ;;
     barf)
       run_row barf joint_pose_nerf_training/synthetic barf "$SYN" \
         --camera.initial_pose=noisy_gt --camera.noise=0.15 --max_iter=15000 ;;
     sfm_init)
+      # preset-default PDCNet backend = bundled learned weights (reference-
+      # faithful: the reference's SfM init is PDC-Net-based)
       run_row sfm_init nerf_fixed_noisy_poses/synthetic sparf \
         '--synthetic={"H":300,"W":400,"n_train":4,"n_test":4,"texture_octaves":3,"angular_span":0.35}' \
         --use_gt_correspondences=false --min_nbr_matches=100 \
+        --camera.initial_pose=sfm_pdcnet --max_iter=8000 ;;
+    sfm_init_zncc)
+      # same recipe, classical geometry-guided matcher (the backend the
+      # r1/r2 "0.028 deg" number effectively used, since the weightless
+      # PDCNet fell back)
+      run_row sfm_init_zncc nerf_fixed_noisy_poses/synthetic sparf \
+        '--synthetic={"H":300,"W":400,"n_train":4,"n_test":4,"texture_octaves":3,"angular_span":0.35}' \
+        --use_gt_correspondences=false --min_nbr_matches=100 \
+        --flow_backbone=zncc \
         --camera.initial_pose=sfm_pdcnet --max_iter=8000 ;;
     *) echo "unknown row $row" ;;
   esac
