@@ -12,6 +12,7 @@ and jit-safe (no data-dependent Python control flow).
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -20,6 +21,27 @@ import jax.numpy as jnp
 import numpy as np
 
 Array = jax.Array
+
+
+def f32_matmuls(fn):
+    """Force full-f32 matmuls inside `fn`.
+
+    The TPU MXU default is a single bf16 pass; on the tiny 3x3/3x4 pose
+    algebra here that rounds operands to 8 mantissa bits and corrupts the
+    results at the ~2e-3 level — measured: ``wx @ wx`` inside the exp map
+    alone makes rotations non-orthonormal (||RR^T-I|| ~ 2e-3) and moves them
+    by up to 1.9 DEGREES, which surfaced as a 0.79->2.17 deg SfM export
+    discrepancy (results/sfm_init, round 4). These ops are negligible FLOPs
+    next to the MLP, so full precision is free; the MLP/conv compute path
+    keeps the bf16 MXU default.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 # ---------------------------------------------------------------------------
 # homogeneous helpers
@@ -52,6 +74,7 @@ def pose_from_rt(R: Optional[Array] = None, t: Optional[Array] = None) -> Array:
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
+@f32_matmuls
 def pose_invert(pose: Array) -> Array:
     """Invert (...,3,4) rigid pose: R' = R^T, t' = -R^T t."""
     R, t = pose[..., :3], pose[..., 3:]
@@ -60,6 +83,7 @@ def pose_invert(pose: Array) -> Array:
     return pose_from_rt(R_inv, t_inv)
 
 
+@f32_matmuls
 def pose_compose_pair(pose_a: Array, pose_b: Array) -> Array:
     """pose_new(x) = pose_b(pose_a(x)): R = R_b R_a, t = R_b t_a + t_b."""
     R_a, t_a = pose_a[..., :3], pose_a[..., 3:]
@@ -83,6 +107,7 @@ def pose_to_4x4(pose: Array) -> Array:
     return jnp.concatenate([pose, bottom], axis=-2)
 
 
+@f32_matmuls
 def pose_inverse_4x4(mat: Array) -> Array:
     """Invert (...,4,4) rigid transform without matrix inverse (camera.py:40-64)."""
     R, t = mat[..., :3, :3], mat[..., :3, 3:]
@@ -97,22 +122,26 @@ def pose_inverse_4x4(mat: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
+@f32_matmuls
 def world2cam(x_world: Array, pose_w2c: Array) -> Array:
     """(..., N, 3) world points -> camera frame via (...,3,4) w2c pose."""
     return to_hom(x_world) @ jnp.swapaxes(pose_w2c, -1, -2)
 
 
+@f32_matmuls
 def cam2world(x_cam: Array, pose_w2c: Array) -> Array:
     """(..., N, 3) camera points -> world frame via (...,3,4) w2c pose."""
     pose_c2w = pose_invert(pose_w2c)
     return to_hom(x_cam) @ jnp.swapaxes(pose_c2w, -1, -2)
 
 
+@f32_matmuls
 def cam2img(x: Array, intr: Array) -> Array:
     """(..., N, 3) camera points -> homogeneous image coords via K (...,3,3)."""
     return x @ jnp.swapaxes(intr, -1, -2)
 
 
+@f32_matmuls
 def img2cam(x: Array, intr: Array) -> Array:
     """(..., N, 3) homogeneous pixels -> camera coords via K^-1."""
     return x @ jnp.swapaxes(jnp.linalg.inv(intr), -1, -2)
@@ -191,6 +220,7 @@ def taylor_C(x: Array) -> Array:
     return _taylor_poly(x, _DENOMS_C)
 
 
+@f32_matmuls
 def so3_to_SO3(w: Array) -> Array:
     """Rodrigues: (...,3) axis-angle -> (...,3,3) rotation."""
     wx = skew_symmetric(w)
@@ -210,6 +240,7 @@ def SO3_to_so3(R: Array, eps: float = 1e-7) -> Array:
     return jnp.stack([lnR[..., 2, 1], lnR[..., 0, 2], lnR[..., 1, 0]], axis=-1)
 
 
+@f32_matmuls
 def se3_to_SE3(wu: Array) -> Array:
     """(...,6) [w|u] twist -> (...,3,4) pose."""
     w, u = wu[..., :3], wu[..., 3:]
@@ -224,6 +255,7 @@ def se3_to_SE3(wu: Array) -> Array:
     return jnp.concatenate([R, V @ u[..., None]], axis=-1)
 
 
+@f32_matmuls
 def SE3_to_se3(Rt: Array, eps: float = 1e-8) -> Array:
     """(...,3,4) pose -> (...,6) twist."""
     R, t = Rt[..., :3], Rt[..., 3:]
@@ -341,6 +373,7 @@ def get_pixel_grid(H: int, W: int, dtype=jnp.float32) -> Array:
     return jnp.stack([X, Y], axis=-1).reshape(-1, 2)
 
 
+@f32_matmuls
 def get_center_and_ray_at_pixels(
     pose_w2c: Array, pixels: Array, intr: Array
 ) -> Tuple[Array, Array]:
@@ -363,6 +396,7 @@ def get_center_and_ray_at_pixels(
     return center, grid_world - center
 
 
+@f32_matmuls
 def get_center_and_ray(pose_w2c: Array, H: int, W: int, intr: Array) -> Tuple[Array, Array]:
     """Centers + rays at every pixel of an (H,W) image. Returns (B,HW,3) pairs."""
     pixels = get_pixel_grid(H, W)
@@ -378,6 +412,7 @@ def get_3d_points_from_depth(
     return center + ray * depth
 
 
+@f32_matmuls
 def convert_NDC(center: Array, ray: Array, intr: Array, near: float = 1.0) -> Tuple[Array, Array]:
     """Shift ray origins to the near plane and map to NDC (camera.py:439-470)."""
     center = center + (near - center[..., 2:]) / ray[..., 2:] * ray
@@ -399,6 +434,7 @@ def convert_NDC(center: Array, ray: Array, intr: Array, near: float = 1.0) -> Tu
 # ---------------------------------------------------------------------------
 
 
+@f32_matmuls
 def rotation_distance(R1: Array, R2: Array, eps: float = 1e-7) -> Array:
     """Geodesic angle between rotation matrices, radians."""
     R_diff = R1 @ jnp.swapaxes(R2, -2, -1)
@@ -449,6 +485,7 @@ def procrustes_analysis(X0: np.ndarray, X1: np.ndarray) -> dict:
     )
 
 
+@f32_matmuls
 def get_novel_view_poses(pose_anchor: Array, N: int = 60, scale: float = 1.0) -> Array:
     """Small oscillations around an anchor w2c pose (camera.py:521-541)."""
     theta = jnp.arange(N) / N * 2 * math.pi

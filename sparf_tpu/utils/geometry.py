@@ -12,6 +12,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from sparf_tpu.utils.camera import f32_matmuls
+
 Array = jax.Array
 
 
@@ -23,6 +25,7 @@ def from_homogeneous(points: Array) -> Array:
     return points[..., :-1] / (points[..., -1:] + 1e-6)
 
 
+@f32_matmuls
 def batch_backproject_to_3d(kpi: Array, di: Array, Ki: Array, T_itoj: Array) -> Array:
     """Backproject pixels of image i by depth, express in frame j.
 
@@ -37,12 +40,14 @@ def batch_backproject_to_3d(kpi: Array, di: Array, Ki: Array, T_itoj: Array) -> 
     return from_homogeneous(to_homogeneous(pts3d_i) @ jnp.swapaxes(T_itoj, -1, -2))
 
 
+@f32_matmuls
 def batch_project(kpi_3d: Array, T_itoj: Array, Kj: Array) -> Array:
     """Project 3D points in frame i into image j. (B,N,3)->(B,N,2)."""
     kpi_3d_j = from_homogeneous(to_homogeneous(kpi_3d) @ jnp.swapaxes(T_itoj, -1, -2))
     return from_homogeneous(kpi_3d_j @ jnp.swapaxes(Kj, -1, -2))
 
 
+@f32_matmuls
 def batch_project_to_other_img(
     kpi: Array,
     di: Array,
@@ -119,6 +124,7 @@ def sample_depth_at(pts: Array, depth: Array) -> Tuple[Array, Array]:
     return jnp.where(valid, interp, 0.0), valid
 
 
+@f32_matmuls
 def batch_project_to_other_img_and_check_depth(
     kpi: Array,
     di: Array,
@@ -151,6 +157,7 @@ def pose_to_T4x4(pose_w2c: Array) -> Array:
     return jnp.concatenate([pose_w2c, bottom], axis=-2)
 
 
+@f32_matmuls
 def relative_transform_i_to_j(pose_i_w2c: Array, pose_j_w2c: Array) -> Array:
     """T_i->j = P_j @ P_i^{-1} as 4x4 (reference corres_loss.py:181-190)."""
     from sparf_tpu.utils import camera

@@ -154,3 +154,24 @@ def test_novel_view_poses(rng):
     # rotations must stay orthonormal
     RtR = np.swapaxes(np.asarray(poses[..., :3]), -1, -2) @ np.asarray(poses[..., :3])
     np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape), atol=1e-4)
+
+
+def test_pose_math_survives_bf16_matmul_default(rng):
+    """Exp map + composition stay orthonormal under a bf16 matmul default.
+
+    The TPU MXU runs matmuls as a single bf16 pass by default; round 4
+    measured that this corrupts the 3x3 pose algebra by up to 1.9 deg
+    (``wx @ wx`` in the exp map -> ||RR^T-I|| ~ 2e-3, surfaced as a
+    0.79 -> 2.17 deg SfM pose-export discrepancy). camera.f32_matmuls must
+    override any ambient precision default. On CPU the precision setting is
+    a no-op, so this test pins the contract for TPU suite runs.
+    """
+    tw = jnp.asarray(rng.standard_normal((16, 6)).astype(np.float32))
+    with jax.default_matmul_precision("bfloat16"):
+        pose = camera.se3_to_SE3(tw)
+        comp = camera.pose_compose([pose, pose])
+        inv = camera.pose_invert(comp)
+    for p in (pose, comp, inv):
+        R = np.asarray(p)[..., :3]  # (...,3,4) -> rotation block
+        gram = R @ np.swapaxes(R, -1, -2)
+        assert np.abs(gram - np.eye(3)).max() < 1e-5
