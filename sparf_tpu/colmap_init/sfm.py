@@ -54,7 +54,13 @@ def matches_from_dense_flow(
 ):
     """Run the matcher over exhaustive pairs; sample at grid keypoints.
 
-    Returns (kps (N,K,2), pair_matches {(i,j): (idx_i (M,), xy_j (M,2))}).
+    Returns (kps (K,2), pair_matches {(i,j): (idx_i (M,), xy_j (M,2))},
+    poses_hint) where poses_hint is the matcher geometry stage's internal
+    mini-SfM estimate ((N,3,4) w2c float64) or None for appearance-only
+    backends. The hint matters: geometry-refined flows are epipolar-
+    consistent with these very poses, so re-deriving poses from them via
+    essential-matrix bootstrap can only reproduce (or degrade) the internal
+    estimate — the caller should refine from the hint instead.
     """
     from sparf_tpu.models import flow_net
 
@@ -87,7 +93,8 @@ def matches_from_dense_flow(
             & (xy_j[:, 1] >= 0) & (xy_j[:, 1] <= H - 1)
         )
         pair_matches[(int(i), int(j))] = (sel[inb], xy_j[inb])
-    return kps, pair_matches
+    poses_hint = getattr(wrapper, "last_geom", {}).get("poses_w2c")
+    return kps, pair_matches, poses_hint
 
 
 # ---------------------------------------------------------------------------
@@ -114,31 +121,45 @@ class UnionFind:
 
 def build_tracks(kps: np.ndarray, pair_matches, n_images: int, H: int, W: int,
                  quant: float = 2.0):
-    """Tracks across views: nodes are (img, kp_idx) for source keypoints and
-    quantized pixels for matched locations. Returns list of {img: xy}."""
-    uf = UnionFind()
-    obs: Dict[Tuple[int, int, int], np.ndarray] = {}
+    """Tracks keyed by exact source keypoint: track (i,k) collects the
+    keypoint's matched location in every paired view. Returns list of
+    {img: xy}.
 
-    def node(img, xy):
-        q = (img, int(xy[0] / quant), int(xy[1] / quant))
-        if q not in obs:
-            obs[q] = np.asarray(xy, np.float32)
-        return q
-
+    Earlier rounds unified matched locations through a union-find over
+    `quant`-px cells to get transitive multi-view tracks; measured on oracle
+    matches, cell merging fused DISTINCT 3D points up to `quant` px apart
+    into one track — a structured observation error that dominated the
+    SfM noise floor (0.3 deg from exact matches). Exact per-keypoint tracks
+    duplicate physical points across source views instead (more, smaller
+    tracks) — redundant but unbiased; `quant` is kept for signature
+    compatibility and unused."""
+    del quant
+    tracks: Dict[Tuple[int, int], Dict[int, np.ndarray]] = {}
     for (i, j), (idx_i, xy_j) in pair_matches.items():
         for k in range(len(idx_i)):
-            a = node(i, kps[idx_i[k]])
-            b = node(j, xy_j[k])
-            uf.union(a, b)
+            key = (int(i), int(idx_i[k]))
+            tr = tracks.setdefault(key, {int(i): np.asarray(kps[idx_i[k]], np.float32)})
+            if int(j) not in tr:
+                tr[int(j)] = np.asarray(xy_j[k], np.float32)
+    return [t for t in tracks.values() if len(t) >= 2]
 
-    groups: Dict[Tuple, Dict[int, np.ndarray]] = {}
-    for q, xy in obs.items():
-        root = uf.find(q)
-        groups.setdefault(root, {})
-        img = q[0]
-        if img not in groups[root]:  # one observation per image per track
-            groups[root][img] = xy
-    return [g for g in groups.values() if len(g) >= 2]
+
+def _shift_to_pixel_centers(kps: np.ndarray, pair_matches):
+    """Integer-grid match coords -> pixel-center coords (+0.5).
+
+    The matchers label the content of pixel (x,y) with the integer coord
+    (x,y) (reference correspondence-loss parity), but physically that content
+    sits on the ray through (x+0.5, y+0.5) — the renderer's convention
+    (camera.get_center_and_ray). Using integer coords in SfM is equivalent to
+    a half-pixel principal-point error: measured ~0.1 deg of irreducible pose
+    bias on oracle matches. All SfM geometry (triangulation, PnP, BA) runs in
+    center coords; export_depth_maps floors back to pixel indices."""
+    kps = np.asarray(kps, np.float32) + 0.5
+    shifted = {
+        k: (idx, np.asarray(xy, np.float32) + 0.5)
+        for k, (idx, xy) in pair_matches.items()
+    }
+    return kps, shifted
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +208,21 @@ def run_mini_sfm(
     n, _, H, W = images.shape
     K = np.asarray(scene["intr"], np.float64)
 
-    kps, pair_matches = matches if matches is not None else matches_from_dense_flow(scene, cfg)
+    if matches is not None:
+        kps, pair_matches = matches
+    else:
+        kps, pair_matches, poses_hint = matches_from_dense_flow(scene, cfg)
+        if poses_hint is not None and len(poses_hint) == n:
+            # the matcher's geometry stage already solved these poses; refine
+            # from them with the robust prior-init rounds instead of re-rolling
+            # the essential-matrix bootstrap on epipolar-consistent flows
+            res = run_prior_init_sfm(
+                scene, (kps, pair_matches), np.asarray(poses_hint),
+                ba_iters=ba_iters, rounds=3, max_reproj_err=max_reproj_err,
+            )
+            if not res.index_images_excluded:
+                return res
+    kps, pair_matches = _shift_to_pixel_centers(kps, pair_matches)
     tracks = build_tracks(kps, pair_matches, n, H, W)
     if not tracks:
         return SfmResult(
@@ -282,6 +317,16 @@ def run_mini_sfm(
     if len(registered) >= 2 and points3d:
         refined = bundle_adjust(poses_w2c, points3d, tracks, K, ba_iters)
         poses_w2c.update(refined)
+        # resection-intersection polish: the incremental estimate's track
+        # set was gated under its own (possibly-biased) poses; re-triangulate
+        # ALL tracks from scratch each round so the selection bias cannot
+        # pin the solution (measured: 0.96 -> ~0.05 deg at 0.3 px match noise)
+        pts = _resection_intersection_rounds(
+            tracks, poses_w2c, K, H, W, rounds=3,
+            max_reproj_err=max_reproj_err, ba_iters=ba_iters,
+        )
+        if pts is not None:
+            points3d = pts
 
     out = np.broadcast_to(np.eye(4), (n, 4, 4)).copy()
     for img, p in poses_w2c.items():
@@ -313,7 +358,7 @@ def run_prior_init_sfm(
     images = scene["image"]
     n, _, H, W = images.shape
     K = np.asarray(scene["intr"], np.float64)
-    kps, pair_matches = matches
+    kps, pair_matches = _shift_to_pixel_centers(*matches)
     tracks = build_tracks(kps, pair_matches, n, H, W)
     if not tracks:
         return SfmResult(
@@ -327,33 +372,15 @@ def run_prior_init_sfm(
         p[:3] = np.asarray(init_poses_w2c)[i, :3]
         poses_w2c[i] = p
 
-    points3d: Dict[int, np.ndarray] = {}
-    for rnd in range(rounds):
-        def P_of(img):
-            return K[img] @ poses_w2c[img][:3]
-
-        # (re-)triangulate every track with the current poses; gate residuals
-        # loosely on the first round (the prior itself projects tens of px
-        # off) and at the target threshold afterwards
-        gate = max_reproj_err if rnd > 0 else max(0.12 * max(H, W), 25.0)
-        points3d = {}
-        for ti, tr in enumerate(tracks):
-            seen = list(tr.keys())
-            if len(seen) < 2:
-                continue
-            X = triangulate_dlt([(P_of(im), tr[im]) for im in seen])
-            if X is None:
-                continue
-            errs = reprojection_errors(X, tr, poses_w2c, K)
-            if max(errs) < gate:
-                points3d[ti] = X
-        if len(points3d) < 24:
-            return SfmResult(
-                poses_w2c=np.broadcast_to(np.eye(4), (n, 4, 4)).copy(),
-                valid_poses_idx=[], index_images_excluded=list(range(n)),
-            )
-        refined = bundle_adjust(poses_w2c, points3d, tracks, K, ba_iters)
-        poses_w2c.update(refined)
+    points3d = _resection_intersection_rounds(
+        tracks, poses_w2c, K, H, W, rounds=max(rounds, 1),
+        max_reproj_err=max_reproj_err, ba_iters=ba_iters,
+    )
+    if points3d is None:
+        return SfmResult(
+            poses_w2c=np.broadcast_to(np.eye(4), (n, 4, 4)).copy(),
+            valid_poses_idx=[], index_images_excluded=list(range(n)),
+        )
 
     return SfmResult(
         poses_w2c=np.stack([poses_w2c[i] for i in range(n)]).astype(np.float32),
@@ -363,15 +390,64 @@ def run_prior_init_sfm(
     )
 
 
-def bundle_adjust(poses_w2c, points3d, tracks, K, n_iters: int = 300):
-    """JAX bundle adjustment: Adam on per-camera se3 + 3D points, huber
-    reprojection; first camera gauge-fixed. Replaces COLMAP's CERES step."""
-    import jax
-    import jax.numpy as jnp
-    import optax
+def _rodrigues(w: np.ndarray) -> np.ndarray:
+    """so3 exp, float64, (3,) -> (3,3)."""
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
 
-    from sparf_tpu.utils import camera as cam
 
+def _resection_intersection_rounds(tracks, poses_w2c: Dict[int, np.ndarray],
+                                   K, H: int, W: int, rounds: int,
+                                   max_reproj_err: float, ba_iters: int):
+    """Triangulate-all -> gate -> BA, repeated. Mutates `poses_w2c` in place;
+    returns the final points3d dict, or None when too few tracks survive.
+    Round 0 gates loosely (the starting poses may project tens of px off),
+    later rounds at the target threshold."""
+    points3d: Dict[int, np.ndarray] = {}
+    for rnd in range(rounds):
+        def P_of(img):
+            return K[img] @ poses_w2c[img][:3]
+
+        gate = max_reproj_err if rnd > 0 else max(0.12 * max(H, W), 25.0)
+        points3d = {}
+        for ti, tr in enumerate(tracks):
+            seen = [im for im in tr if im in poses_w2c]
+            if len(seen) < 2:
+                continue
+            X = triangulate_dlt([(P_of(im), tr[im]) for im in seen])
+            if X is None:
+                continue
+            errs = reprojection_errors(X, {m: tr[m] for m in seen}, poses_w2c, K)
+            if max(errs) < gate:
+                points3d[ti] = X
+        if len(points3d) < 24:
+            return None
+        refined = bundle_adjust(poses_w2c, points3d, tracks, K, ba_iters)
+        poses_w2c.update(refined)
+    return points3d
+
+
+def bundle_adjust(poses_w2c, points3d, tracks, K, n_iters: int = 300,
+                  huber_px: float = 2.0):
+    """Bundle adjustment: joint Levenberg-Marquardt over all cameras + points
+    with the point block eliminated by Schur complement, huber IRLS weights,
+    float64 on the host.
+
+    Replaces the round-1..4 Adam-on-twists BA: measured on oracle matches,
+    1500 Adam steps left a 0.3-1.6 deg pose floor (underconverged first-order
+    steps on the badly scaled twist/point mix); an intermediate alternating
+    resection/intersection GN fixed the floor but stalled from far-off priors
+    (pose-point correlation). The Schur-reduced joint step solves a dense
+    6(C-1) system (C <= ~10 cameras here) plus batched 3x3 point solves —
+    CERES-grade convergence at trivial cost. First camera is gauge-fixed.
+    Replaces COLMAP's CERES step (reference sfm.py:47-62).
+
+    `n_iters` is a max-LM-iterations budget (legacy callers pass Adam-scale
+    numbers; clamped to [10, 120] — convergence stops earlier)."""
     imgs = sorted(poses_w2c)
     img_to_i = {im: i for i, im in enumerate(imgs)}
     tids = sorted(points3d)
@@ -384,53 +460,142 @@ def bundle_adjust(poses_w2c, points3d, tracks, K, n_iters: int = 300):
                 obs_cam.append(img_to_i[im])
                 obs_pt.append(tid_to_i[ti])
                 obs_xy.append(xy)
-    obs_cam = jnp.asarray(obs_cam)
-    obs_pt = jnp.asarray(obs_pt)
-    obs_xy = jnp.asarray(np.asarray(obs_xy, np.float32))
-    Kj = jnp.asarray(np.stack([K[im] for im in imgs]).astype(np.float32))
-    base = jnp.asarray(np.stack([poses_w2c[im][:3] for im in imgs]).astype(np.float32))
-    X0 = jnp.asarray(np.stack([points3d[t] for t in tids]).astype(np.float32))
+    obs_cam = np.asarray(obs_cam, np.int64)
+    obs_pt = np.asarray(obs_pt, np.int64)
+    obs_xy = np.asarray(obs_xy, np.float64)
+    Kc = np.stack([np.asarray(K[im], np.float64) for im in imgs])
+    R = np.stack([poses_w2c[im][:3, :3] for im in imgs]).astype(np.float64)
+    t = np.stack([poses_w2c[im][:3, 3] for im in imgs]).astype(np.float64)
+    X = np.stack([points3d[ti] for ti in tids]).astype(np.float64)
+    C, P = len(imgs), len(tids)
 
-    params = {"twist": jnp.zeros((len(imgs), 6)), "X": X0}
+    def residuals(R, t, X):
+        Xc = np.einsum("nij,nj->ni", R[obs_cam], X[obs_pt]) + t[obs_cam]
+        uvh = np.einsum("nij,nj->ni", Kc[obs_cam], Xc)
+        z = uvh[:, 2]
+        valid = z > 1e-6
+        zs = np.where(valid, z, 1.0)
+        uv = uvh[:, :2] / zs[:, None]
+        r = uv - obs_xy
+        nrm = np.linalg.norm(r, axis=1)
+        w = np.where(nrm <= huber_px, 1.0, huber_px / np.maximum(nrm, 1e-12))
+        w = np.where(valid, w, 0.0)
+        # huber cost (for the accept/damping logic)
+        cost = np.where(
+            nrm <= huber_px, 0.5 * nrm**2, huber_px * (nrm - 0.5 * huber_px)
+        )
+        cost = float(np.sum(np.where(valid, cost, huber_px * 50.0)))
+        return Xc, uv, zs, r, w, cost
 
-    def loss_fn(params):
-        poses = cam.pose_compose([cam.se3_to_SE3(params["twist"]), base])
-        # gauge fix: first camera stays put
-        poses = poses.at[0].set(base[0])
-        Rp = poses[obs_cam, :, :3]
-        tp = poses[obs_cam, :, 3]
-        Xc = jnp.einsum("nij,nj->ni", Rp, params["X"][obs_pt]) + tp
-        uv = jnp.einsum("nij,nj->ni", Kj[obs_cam], Xc)
-        uv = uv[:, :2] / jnp.maximum(uv[:, 2:], 1e-6)
-        diff = uv - obs_xy
-        d = jnp.abs(diff)
-        hub = jnp.where(d < 2.0, 0.5 * diff**2, 2.0 * (d - 1.0))
-        return jnp.mean(hub)
+    def duv_dXc(uv, zs, cams):
+        """(M,2,3): d(perspective K-projection)/dXc, general K."""
+        Kr = Kc[cams]  # (M,3,3)
+        return (Kr[:, :2] - uv[..., None] * Kr[:, 2:3]) / zs[:, None, None]
 
-    tx = optax.adam(1e-3)
-    ost = tx.init(params)
+    # obs-pair index lists for the Schur reduction: all ordered pairs of
+    # observations sharing a point
+    order = np.argsort(obs_pt, kind="stable")
+    pt_sorted = obs_pt[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(pt_sorted)) + 1]
+    counts = np.diff(np.r_[starts, len(pt_sorted)])
+    pm1 = np.concatenate([order[s : s + c].repeat(c) for s, c in zip(starts, counts)])
+    pm2 = np.concatenate([np.tile(order[s : s + c], c) for s, c in zip(starts, counts)])
 
-    @jax.jit
-    def step(params, ost):
-        # full-f32 matmuls: the TPU MXU default (bf16-pass) cannot resolve
-        # sub-pixel reprojection residuals at image scale
-        with jax.default_matmul_precision("float32"):
-            l, g = jax.value_and_grad(loss_fn)(params)
-        upd, ost = tx.update(g, ost, params)
-        return optax.apply_updates(params, upd), ost, l
+    n_alt = int(np.clip(n_iters, 10, 120))
+    lam = 1e-6
+    Xc, uv, zs, r, w, cost = residuals(R, t, X)
+    reject_streak = 0
+    n_obs_pt = np.bincount(obs_pt, minlength=P)
+    for _ in range(n_alt):
+        prev_cost = cost
+        A = duv_dXc(uv, zs, obs_cam)                      # (M,2,3) duv/dXc
+        Bp = A @ R[obs_cam]                               # (M,2,3) duv/dX
+        M = obs_xy.shape[0]
+        skew = np.zeros((M, 3, 3))
+        skew[:, 0, 1] = -Xc[:, 2]
+        skew[:, 0, 2] = Xc[:, 1]
+        skew[:, 1, 0] = Xc[:, 2]
+        skew[:, 1, 2] = -Xc[:, 0]
+        skew[:, 2, 0] = -Xc[:, 1]
+        skew[:, 2, 1] = Xc[:, 0]
+        # duv/d(omega,v) = A @ [-[Xc]x | I]  (perturbation R<-exp(w)R,
+        # t<-exp(w)t+v, so dXc = omega x Xc + v = -[Xc]x omega + v)
+        Bc = np.concatenate([-np.matmul(A, skew), A], axis=2)  # (M,2,6)
+        Bcw = Bc * w[:, None, None]
+        Bpw = Bp * w[:, None, None]
+        # normal-equation blocks
+        Hcc = np.zeros((C, 6, 6))
+        gc = np.zeros((C, 6))
+        np.add.at(Hcc, obs_cam, np.einsum("mki,mkj->mij", Bcw, Bc))
+        np.add.at(gc, obs_cam, np.einsum("mki,mk->mi", Bcw, r))
+        Hpp = np.zeros((P, 3, 3))
+        gp = np.zeros((P, 3))
+        np.add.at(Hpp, obs_pt, np.einsum("mki,mkj->mij", Bpw, Bp))
+        np.add.at(gp, obs_pt, np.einsum("mki,mk->mi", Bpw, r))
+        Hcp = np.einsum("mki,mkj->mij", Bcw, Bp)          # (M,6,3) per obs
+        # LM damping (multiplicative on the diagonals)
+        Hcc_d = Hcc + lam * np.eye(6) * np.maximum(
+            np.einsum("cii->c", Hcc), 1e-6)[:, None, None] / 6
+        Hpp_d = Hpp + lam * np.eye(3) * np.maximum(
+            np.einsum("pii->p", Hpp), 1e-6)[:, None, None] / 3
+        Hpp_d += 1e-10 * np.eye(3)
+        Hpp_inv = np.linalg.inv(Hpp_d)
+        # Schur complement over cameras: S = Hcc - sum_p Hcp Hpp^-1 Hpc
+        T = Hcp @ Hpp_inv[obs_pt]                         # (M,6,3)
+        S = np.zeros((C, C, 6, 6))
+        for c0 in range(C):
+            S[c0, c0] += Hcc_d[c0]
+        chunk = 200_000
+        for a in range(0, len(pm1), chunk):
+            m1 = pm1[a : a + chunk]
+            m2 = pm2[a : a + chunk]
+            contrib = T[m1] @ np.transpose(Hcp[m2], (0, 2, 1))  # (m,6,6)
+            np.add.at(S, (obs_cam[m1], obs_cam[m2]), -contrib)
+        g_red = gc.copy()
+        np.add.at(g_red, obs_cam, -np.einsum("mij,mj->mi", T, gp[obs_pt]))
+        # gauge: drop camera 0 from the reduced system
+        Sm = np.transpose(S[1:, 1:], (0, 2, 1, 3)).reshape(6 * (C - 1), 6 * (C - 1))
+        gm = g_red[1:].reshape(-1)
+        try:
+            dc = np.linalg.solve(Sm, -gm).reshape(C - 1, 6)
+        except np.linalg.LinAlgError:
+            lam = min(lam * 10.0, 1e4)
+            continue
+        dcam = np.concatenate([np.zeros((1, 6)), dc], 0)
+        # back-substitute the point update
+        rhs = gp.copy()
+        np.add.at(rhs, obs_pt, np.einsum("mij,mi->mj", Hcp, dcam[obs_cam]))
+        dX = -np.einsum("pij,pj->pi", Hpp_inv, rhs)
+        dX[n_obs_pt < 2] = 0.0
+        R_new = np.stack([_rodrigues(dcam[c, :3]) @ R[c] for c in range(C)])
+        t_new = np.stack([
+            _rodrigues(dcam[c, :3]) @ t[c] + dcam[c, 3:] for c in range(C)
+        ])
+        X_new = X + dX
+        Xc2, uv2, zs2, r2, w2, cost_new = residuals(R_new, t_new, X_new)
+        if cost_new <= prev_cost:
+            R, t, X = R_new, t_new, X_new
+            Xc, uv, zs, r, w, cost = Xc2, uv2, zs2, r2, w2, cost_new
+            lam = max(lam * 0.3, 1e-9)
+            reject_streak = 0
+            if prev_cost - cost < 1e-12 * max(prev_cost, 1.0):
+                break
+        else:
+            lam = min(lam * 10.0, 1e4)
+            reject_streak += 1
+            if reject_streak >= 10:
+                break
 
-    for _ in range(n_iters):
-        params, ost, _ = step(params, ost)
-
-    poses = np.array(
-        cam.pose_compose([cam.se3_to_SE3(params["twist"]), base])
-    )
-    poses[0] = np.array(base[0])
     out = {}
     for im, i in img_to_i.items():
         p4 = np.eye(4, dtype=np.float32)
-        p4[:3] = poses[i]
+        p4[:3, :3] = R[i].astype(np.float32)
+        p4[:3, 3] = t[i].astype(np.float32)
         out[im] = p4
+    # refined points back into the caller's dict (run_prior_init_sfm's
+    # re-triangulation gates and the depth export both read them)
+    for ti, i in tid_to_i.items():
+        points3d[ti] = X[i]
     return out
 
 
@@ -452,7 +617,8 @@ def export_depth_maps(points3d, tracks, poses_w2c, K, n, H, W,
             err = np.hypot(u - xy[0], v - xy[1])
             if err > max_err_px:
                 continue
-            ui, vi = int(round(u)), int(round(v))
+            # center-coord u=x+0.5 is the middle of pixel x -> floor
+            ui, vi = int(np.floor(u)), int(np.floor(v))
             if 0 <= ui < W and 0 <= vi < H:
                 c = 1.0 / (1.0 + err)
                 if c > conf[img, vi, ui]:

@@ -26,7 +26,7 @@ def compute_triangulation_from_matches(cfg, scene: Dict[str, np.ndarray],
         p[:3] = scene["pose"][i]
         poses_w2c[i] = p
 
-    kps, pair_matches = sfm_mod.matches_from_dense_flow(scene, cfg)
+    kps, pair_matches, _ = sfm_mod.matches_from_dense_flow(scene, cfg)
     tracks = sfm_mod.build_tracks(kps, pair_matches, n, H, W)
 
     def P_of(img):
