@@ -341,6 +341,29 @@ def self_supervised_adapt(
     return params
 
 
+def compose_candidate_uncertainty(c1: Array, alpha: Array, var_s: Array,
+                                  var_l: Array, Hm: Array):
+    """Compose a pre-warp candidate's mapping + uncertainty through Hm.
+
+    c1 (2,H,W) is the mapping into the Hm-warped source canvas with a
+    two-component Laplacian mixture (alpha, var_s, var_l) per pixel in
+    *warped-canvas* pixel units. Composing back to original-source coords
+    magnifies errors by the local Jacobian of Hm, so the variances scale by
+    the per-pixel area scale |det J_Hm(c1)| = |det Hm| / w^3 (= f^2 for the
+    similarity pre-warps) and p_r is recomputed from the rescaled mixture.
+    Returns (cH (H,W,2), p_r (H,W), expected_var (H,W))."""
+    from sparf_tpu.models import flow_net as _fn
+
+    cH = _fn._apply_homography(Hm, jnp.transpose(c1, (1, 2, 0)))
+    w = Hm[2, 0] * c1[0] + Hm[2, 1] * c1[1] + Hm[2, 2]
+    det_j = jnp.abs(jnp.linalg.det(Hm)) / jnp.maximum(jnp.abs(w), 1e-6) ** 3
+    var_s = var_s * det_j
+    var_l = var_l * det_j
+    evar = alpha * var_s + (1 - alpha) * var_l
+    p_r = p_r_from_mixture(alpha, var_s, var_l)
+    return cH, p_r, evar
+
+
 def _scale_about_center_homography(f: float, H: int, W: int) -> Array:
     """Similarity that zooms the image about its center by 1/f: a pixel u of
     the warped canvas samples the original at c + f*(u-c). Used as a
@@ -395,23 +418,37 @@ def compute_pdcnet_flow_of_combi_list(
         out = fwd(t_img[None], s_img[None])
         mapping = jax.image.resize(out["mapping"] * 2.0, (1, 2, H, W), "bilinear")
         p_r = jax.image.resize(out["p_r"], (1, 1, H, W), "bilinear")
-        # continuous race key for the pre-warp candidates: expected mixture
-        # variance (p_r saturates at 1.0 after the /0.5730 clip, so confident
-        # pixels tie under it and the race would degenerate)
-        evar = (out["alpha"] * jnp.exp(out["log_var_s"])
-                + (1 - out["alpha"]) * jnp.exp(out["log_var_l"]))
-        evar = jax.image.resize(evar, (1, 1, H, W), "bilinear")
-        return mapping[0], p_r[0, 0], evar[0, 0]
+
+        def rs(x):
+            return jax.image.resize(x, (1, 1, H, W), "bilinear")[0, 0]
+
+        # mixture components kept separate so pre-warp candidates can be
+        # rescaled through the composition Jacobian before racing / before
+        # their p_r is recomputed; race key = expected mixture variance
+        # (p_r saturates at 1.0 after the /0.5730 clip, so confident pixels
+        # tie under it and the race would degenerate)
+        alpha = rs(out["alpha"])
+        var_s = rs(jnp.exp(out["log_var_s"]))
+        var_l = rs(jnp.exp(out["log_var_l"]))
+        evar = alpha * var_s + (1 - alpha) * var_l
+        return mapping[0], p_r[0, 0], evar, (alpha, var_s, var_l)
 
     def race_prewarp(c0, p0, v0, img_t, img_s, Hm):
         """Candidate from matching against the Hm-pre-warped source; composed
         back to source coords and raced per pixel by expected mixture
-        variance (lower wins) against (c0, p0, v0)."""
+        variance (lower wins) against (c0, p0, v0).
+
+        The candidate's error lives in warped-canvas coords; composing it
+        back through Hm magnifies it by the local Jacobian, so its variance
+        must be scaled by the per-pixel area scale |det J_Hm| = |det Hm|/w^3
+        (f^2 for the similarity pre-warps) and its p_r recomputed from the
+        rescaled mixture — otherwise zoom-in candidates race with variances
+        ~f^2 too small and win on understated uncertainty."""
         from sparf_tpu.models import flow_net as _fn
 
         warped = _fn._warp_image_by_homography(img_s, Hm)
-        c1, p1, v1 = infer(img_t, warped)
-        cH = _fn._apply_homography(Hm, jnp.transpose(c1, (1, 2, 0)))
+        c1, _, _, (a1, vs1, vl1) = infer(img_t, warped)
+        cH, p1, v1 = compose_candidate_uncertainty(c1, a1, vs1, vl1, Hm)
         inb = ((cH[..., 0] >= 0) & (cH[..., 0] <= W - 1)
                & (cH[..., 1] >= 0) & (cH[..., 1] <= H - 1))
         p1 = jnp.where(inb, p1, 0.0)
@@ -428,7 +465,7 @@ def compute_pdcnet_flow_of_combi_list(
 
     corres_out, conf_out = [], []
     for t, s in combi_list.T:
-        c0, p0, v0 = infer(imgs[int(t)], imgs[int(s)])
+        c0, p0, v0, _ = infer(imgs[int(t)], imgs[int(s)])
         for Hm in scale_prewarps:
             c0, p0, v0 = race_prewarp(c0, p0, v0, imgs[int(t)], imgs[int(s)], Hm)
         if use_homography:

@@ -105,3 +105,63 @@ def test_multiscale_race_contract():
     assert c_ms.shape == c_base.shape and p_ms.shape == p_base.shape
     assert np.isfinite(c_ms).all() and np.isfinite(p_ms).all()
     assert p_ms.min() >= 0 and p_ms.max() <= 1
+
+
+def test_compose_candidate_variance_jacobian_scaling():
+    """A pre-warp candidate's mixture variance must be scaled by the local
+    area scale of the composition homography (f^2 for the similarity
+    pre-warps; |det Hm|/w^3 per pixel for a projective Hm) and its p_r
+    recomputed from the rescaled mixture — a zoom candidate racing with
+    unscaled variance would win on ~f^2-understated uncertainty."""
+    H, W = 24, 32
+    rng = np.random.RandomState(5)
+    c1 = jnp.asarray(rng.rand(2, H, W) * [[[W - 1]], [[H - 1]]], jnp.float32)
+    alpha = jnp.asarray(rng.rand(H, W), jnp.float32)
+    var_s = jnp.asarray(0.2 + rng.rand(H, W), jnp.float32)
+    var_l = jnp.asarray(2.0 + rng.rand(H, W), jnp.float32)
+    evar0 = alpha * var_s + (1 - alpha) * var_l
+
+    f = 1.7
+    Sf = pdcnet_jax._scale_about_center_homography(f, H, W)
+    cH, p1, v1 = pdcnet_jax.compose_candidate_uncertainty(
+        c1, alpha, var_s, var_l, Sf)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(evar0) * f * f,
+                               rtol=1e-5)
+    expect_p = pdcnet_jax.p_r_from_mixture(alpha, var_s * f * f, var_l * f * f)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(expect_p), rtol=1e-5)
+    # identity homography: exact passthrough (the plain race behavior)
+    cI, pI, vI = pdcnet_jax.compose_candidate_uncertainty(
+        c1, alpha, var_s, var_l, jnp.eye(3))
+    np.testing.assert_allclose(np.asarray(vI), np.asarray(evar0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cI), np.asarray(jnp.transpose(c1, (1, 2, 0))), atol=1e-5)
+
+    # projective Hm: per-pixel |det Hm| / w^3
+    Hm = jnp.asarray([[1.1, 0.02, 3.0], [-0.01, 0.95, -2.0],
+                      [1e-4, -2e-4, 1.0]], jnp.float32)
+    _, _, vP = pdcnet_jax.compose_candidate_uncertainty(
+        c1, alpha, var_s, var_l, Hm)
+    w = Hm[2, 0] * c1[0] + Hm[2, 1] * c1[1] + Hm[2, 2]
+    det_j = np.abs(np.linalg.det(np.asarray(Hm))) / np.asarray(w) ** 3
+    np.testing.assert_allclose(np.asarray(vP), np.asarray(evar0) * det_j,
+                               rtol=1e-4)
+
+
+def test_homography_race_penalizes_zoom_candidate():
+    """Regression for the homography-branch winner selection: on an identity
+    pair (src == tgt), a zoom pre-warp candidate must NOT sweep the race —
+    with the Jacobian correction its variance carries the f^2 penalty, so the
+    plain candidate keeps the overwhelming majority of pixels."""
+    rng = np.random.RandomState(7)
+    base = rng.rand(3, 40, 56).astype(np.float32)
+    images = np.stack([base, base])
+    combi = np.array([[0], [1]], np.int32)
+    params = pdcnet_jax.init_params(jax.random.PRNGKey(0))
+
+    c_plain, _ = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+        images, combi, params=params)
+    c_ms, _ = pdcnet_jax.compute_pdcnet_flow_of_combi_list(
+        images, combi, params=params, multiscale_factors=(2.0,))
+    changed = np.hypot(c_ms[0, 0] - c_plain[0, 0],
+                       c_ms[0, 1] - c_plain[0, 1]) > 1e-3
+    assert changed.mean() < 0.35, changed.mean()
