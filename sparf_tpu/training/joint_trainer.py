@@ -35,6 +35,22 @@ from sparf_tpu.utils import alignment, camera
 Array = jax.Array
 
 
+def _refine_stats(pose_pre: Array, pose_post: Array) -> Dict[str, object]:
+    """How far test-time photometric refinement moved a test pose: rotation
+    (deg) + camera-center distance, plus the pre-refinement pose so eval can
+    measure the w/-vs-w/o metric delta (reference dual-eval, eval.py:81-106)."""
+    pre = np.asarray(jax.device_get(pose_pre)).reshape(3, 4)
+    post = np.asarray(jax.device_get(pose_post)).reshape(3, 4)
+    rot = float(alignment.rotation_distance_np(pre[None, :, :3], post[None, :, :3])[0])
+    c_pre = -pre[:, :3].T @ pre[:, 3]
+    c_post = -post[:, :3].T @ post[:, 3]
+    return {
+        "rot_deg": rot * 180.0 / np.pi,
+        "trans": float(np.linalg.norm(c_post - c_pre)),
+        "pose_pre": jnp.asarray(pre[None]),
+    }
+
+
 class PoseAndNerfTrainerPerScene(NerfTrainerPerScene):
     """Joint pose-NeRF optimization (SPARF's main trainer)."""
 
@@ -208,12 +224,16 @@ class PoseAndNerfTrainerPerScene(NerfTrainerPerScene):
             alignment.backtrack_gt_through_sim3(pose_GT, self.sim3_est_to_gt_c2w)
         )
         scale = float(self.sim3_est_to_gt_c2w.s)
+        self._last_refine = None
         if self.cfg.optim.get("test_photo", False) and self._test_optim_enabled:
             refine = self.run_test_time_photometric_optim(test_scene, idx, pose)
+            pose_pre = pose
             pose = camera.pose_compose([camera.se3_to_SE3(refine), pose])
+            self._last_refine = _refine_stats(pose_pre, pose)
         return pose, scale
 
     _test_optim_enabled = True
+    _last_refine = None
 
     # ------------------------------------------------ test-time pose refinement
 
@@ -310,7 +330,10 @@ class NerfTrainerPerSceneWColmapFixedPoses(PoseAndNerfTrainerPerScene):
 
     def test_pose_and_scale(self, test_scene, idx: int) -> Tuple[Array, float]:
         pose = test_scene["pose"][idx : idx + 1]
+        self._last_refine = None
         if self.cfg.optim.get("test_photo", False) and self._test_optim_enabled:
             refine = self.run_test_time_photometric_optim(test_scene, idx, pose)
+            pose_pre = pose
             pose = camera.pose_compose([camera.se3_to_SE3(refine), pose])
+            self._last_refine = _refine_stats(pose_pre, pose)
         return pose, 1.0

@@ -511,6 +511,25 @@ class NerfTrainerPerScene:
                 lpips_fn=lpips,
                 scaling_factor_for_pred_depth=depth_scale,
             )
+            refine = getattr(self, "_last_refine", None)
+            if refine is not None:
+                # test-time pose-refinement efficacy, per view (reference
+                # dual-eval w/ vs w/o test-optim, eval.py:81-106): how far the
+                # refinement moved the pose + the PSNR it bought vs rendering
+                # at the unrefined (backtracked-GT) pose
+                res["refine_rot_deg"] = refine["rot_deg"]
+                res["refine_trans"] = refine["trans"]
+                out_pre = renderer_mod.render_image_chunked(
+                    self.state.nerf_params, self.render_cfg, refine["pose_pre"],
+                    test_scene["intr"][idx : idx + 1], H, W,
+                    renderer_mod.render_depth_range(cfg, test_scene), progress,
+                    fine_enabled=fine_enabled, chunk=cfg.nerf.rand_rays,
+                    impl=self.mlp_impl,
+                )
+                pre_rgb = out_pre[key].reshape(1, H, W, 3).transpose(0, 3, 1, 2)
+                mse_pre = float(jnp.mean((pre_rgb - gt_rgb) ** 2))
+                res["psnr_no_refine"] = -10.0 * np.log10(max(mse_pre, 1e-12))
+                res["refine_psnr_delta"] = res["psnr"] - res["psnr_no_refine"]
             per_image.append(res)
             if plot:
                 import imageio.v2 as imageio
