@@ -32,7 +32,7 @@ run_row() {
 }
 
 rows=("$@")
-[ ${#rows[@]} -eq 0 ] && rows=(headline headline_learned static_pools barf sfm_init)
+[ ${#rows[@]} -eq 0 ] && rows=(headline headline_learned static_pools barf sfm_init sfm_init_zncc)
 for row in "${rows[@]}"; do
   case $row in
     headline)
