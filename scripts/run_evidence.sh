@@ -32,7 +32,7 @@ run_row() {
 }
 
 rows=("$@")
-[ ${#rows[@]} -eq 0 ] && rows=(headline headline_learned static_pools barf sfm_init sfm_init_zncc)
+[ ${#rows[@]} -eq 0 ] && rows=(headline headline_learned headline_learned_raw static_pools barf sfm_init sfm_init_zncc)
 for row in "${rows[@]}"; do
   case $row in
     headline)
@@ -50,6 +50,16 @@ for row in "${rows[@]}"; do
       run_row headline_learned joint_pose_nerf_training/synthetic sparf "$SYN" \
         --use_gt_correspondences=false --min_nbr_matches=100 \
         --flow_backbone=PDCNet \
+        --max_iter=15000 --rematch_at_ratio=0.15 ;;
+    headline_learned_raw)
+      # reference-parity configuration: RAW learned flows supervise pose
+      # directly (no geometry-stage refit/rematch), like the reference's
+      # PDC-Net consumption (corres_loss.py:73-95). The de-biasing bar:
+      # <=1 deg on this row (VERDICT r4 #2; was 2.18 deg with the r4
+      # biased weights).
+      run_row headline_learned_raw joint_pose_nerf_training/synthetic sparf "$SYN" \
+        --use_gt_correspondences=false --min_nbr_matches=100 \
+        --flow_backbone=PDCNet --pdcnet_geometry_refine=false \
         --max_iter=15000 --rematch_at_ratio=0.15 ;;
     static_pools)
       # classical matcher forced: this row evidences the "static pools,

@@ -39,3 +39,28 @@ def test_fixed_poses_trainer_smoke(tmp_path):
     result = tr.evaluate_full()
     assert "psnr" in result["mean"]
     assert tr.state.nan_count == 0
+
+
+def test_refine_stats_conventions():
+    """_refine_stats pins the w2c OpenCV convention: rotation delta in deg
+    and the CAMERA-CENTER distance (c = -R^T t), not the raw t delta."""
+    from sparf_tpu.training.joint_trainer import _refine_stats
+    from sparf_tpu.utils import camera
+    import jax.numpy as jnp
+
+    th = np.deg2rad(2.5)
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0],
+                  [0, 0, 1]], np.float32)
+    pre = np.concatenate([np.eye(3, dtype=np.float32),
+                          np.array([[0.1], [0.0], [1.0]], np.float32)], axis=1)
+    post = pre.copy()
+    post[:, :3] = R @ pre[:, :3]
+    # shift the camera center by a known world-space offset
+    c_pre = -pre[:, :3].T @ pre[:, 3]
+    c_post = c_pre + np.array([0.03, -0.04, 0.0], np.float32)
+    post[:, 3] = -post[:, :3] @ c_post
+    stats = _refine_stats(jnp.asarray(pre[None]), jnp.asarray(post[None]))
+    assert abs(stats["rot_deg"] - 2.5) < 0.05, stats["rot_deg"]
+    assert abs(stats["trans"] - 0.05) < 1e-4, stats["trans"]
+    np.testing.assert_allclose(np.asarray(stats["pose_pre"])[0], pre, atol=1e-6)
