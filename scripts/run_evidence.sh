@@ -89,6 +89,17 @@ for row in "${rows[@]}"; do
         --use_gt_correspondences=false --min_nbr_matches=100 \
         --flow_backbone=zncc \
         --camera.initial_pose=sfm_pdcnet --max_iter=8000 ;;
+    wide_learned)
+      # the 1.0-rad wide-baseline ladder rung (57 deg span, far beyond the
+      # DTU 3-view regime) driven by the learned matcher in the hybrid
+      # pipeline + mid-training rematch — the matcher stress test
+      # (VERDICT r4 #9). The previous rung entry (6.47 deg) used the
+      # classical matcher with static pools.
+      run_row wide_learned joint_pose_nerf_training/synthetic sparf \
+        '--synthetic={"H":300,"W":400,"n_train":3,"n_test":4,"texture_octaves":3,"angular_span":1.0}' \
+        --use_gt_correspondences=false --min_nbr_matches=100 \
+        --flow_backbone=PDCNet \
+        --max_iter=15000 --rematch_at_ratio=0.15 ;;
     *) echo "unknown row $row" ;;
   esac
 done
