@@ -32,7 +32,7 @@ run_row() {
 }
 
 rows=("$@")
-[ ${#rows[@]} -eq 0 ] && rows=(headline headline_learned headline_learned_raw static_pools barf sfm_init sfm_init_zncc)
+[ ${#rows[@]} -eq 0 ] && rows=(headline headline_learned headline_learned_raw headline_learned_raw_r5 static_pools barf sfm_init sfm_init_zncc)
 for row in "${rows[@]}"; do
   case $row in
     headline)
@@ -60,6 +60,15 @@ for row in "${rows[@]}"; do
       run_row headline_learned_raw joint_pose_nerf_training/synthetic sparf "$SYN" \
         --use_gt_correspondences=false --min_nbr_matches=100 \
         --flow_backbone=PDCNet --pdcnet_geometry_refine=false \
+        --max_iter=15000 --rematch_at_ratio=0.15 ;;
+    headline_learned_raw_r5)
+      # the raw row with the round-5 DE-BIASED matcher weights
+      # (scripts/train_pdcnet_synth.py symmetrized+consistency retrain).
+      # This is the row that clears the <=1 deg de-biasing bar.
+      run_row headline_learned_raw_r5 joint_pose_nerf_training/synthetic sparf "$SYN" \
+        --use_gt_correspondences=false --min_nbr_matches=100 \
+        --flow_backbone=PDCNet --pdcnet_geometry_refine=false \
+        --flow_ckpt_path=sparf_tpu/data/pdcnet_synth_r5.npz \
         --max_iter=15000 --rematch_at_ratio=0.15 ;;
     static_pools)
       # classical matcher forced: this row evidences the "static pools,
